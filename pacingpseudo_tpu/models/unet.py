@@ -1,0 +1,272 @@
+"""Flax UNet backbone (NHWC, TPU-native).
+
+Re-design of the reference 2D UNet (reference: models/unet.py:10-193) as a
+Flax linen module:
+
+* 6 encoder stages / 5 decoder stages; stage channels
+  ``[min(max_ch, init_ch * 2**k) for k in range(6)]`` = 32..512 at the
+  defaults (reference: models/unet.py:27-31);
+* ``output_stride`` in {8, 16, 32}: at 16/8 the deep stages trade
+  subsampling for dilated (atrous) convolutions, dilation 2/4, following
+  FCIS (reference: models/unet.py:33-53; driver default is 8,
+  train_chaos.py:74);
+* blocks: EncBlock = optional 2x2 max-pool (or stride-2 conv) + DoubleConv;
+  DecBlock = 2x align-corners bilinear upsample (or 2x2 transposed conv) +
+  skip concat + DoubleConv; ConvLayer = Conv -> BatchNorm -> LeakyReLU(0.01)
+  (reference: models/unet.py:100-193);
+* returns the same named end-points dict
+  (``encoder/stage1..6``, ``decoder/stage5..1``, ``segmentation/logits``)
+  but as a function return value, not mutable module state.
+
+TPU-first choices: NHWC layout throughout, align-corners upsampling as MXU
+matmuls (see ops/resize.py), optional bfloat16 compute with float32 params
+and BatchNorm statistics, weight init matching torch's Conv2d default
+(kaiming-uniform, a=sqrt(5)) so training dynamics match the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+from pacingpseudo_tpu.ops.resize import upsample2x_align_corners
+
+Dtype = Any
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)).
+
+    Flax kernel shape is (kh, kw, in_ch, out_ch); fan_in = kh*kw*in_ch.
+    Bound works out to ``1/sqrt(fan_in)`` (gain sqrt(1/3) * sqrt(3/fan_in)).
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in)
+    return random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int):
+    """torch Conv2d default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class ConvLayer(nn.Module):
+    """Conv2d -> BatchNorm -> LeakyReLU(1e-2) (reference: models/unet.py:178-193)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    negative_slope: float = 1e-2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation if self.kernel_size == 3 else 0
+        fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            name="conv",
+        )(x)
+        # BatchNorm statistics always in float32; torch defaults eps=1e-5,
+        # momentum=0.1 (flax momentum = 1 - 0.1).  With jit+NamedSharding
+        # data parallelism the batch mean/var below are global reductions, so
+        # cross-replica sync-BN holds by construction (SURVEY.md §5).
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x)
+        return nn.leaky_relu(x.astype(self.dtype), negative_slope=self.negative_slope)
+
+
+class DoubleConv(nn.Module):
+    """Two ConvLayers (reference: models/unet.py:154-176)."""
+
+    features: int
+    stride1: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvLayer(self.features, 3, self.stride1, self.dilation,
+                      dtype=self.dtype, name="conv_layer1")(x, train)
+        x = ConvLayer(self.features, 3, 1, self.dilation,
+                      dtype=self.dtype, name="conv_layer2")(x, train)
+        return x
+
+
+class EncBlock(nn.Module):
+    """Encoder block (reference: models/unet.py:100-127)."""
+
+    features: int
+    do_subsamp: bool = True
+    is_stride_conv: bool = False
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        stride1 = 1
+        if self.do_subsamp and not self.is_stride_conv:
+            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        elif self.do_subsamp and self.is_stride_conv:
+            stride1 = 2
+        x = DoubleConv(self.features, stride1=stride1, dilation=self.dilation,
+                       dtype=self.dtype, name="conv_block")(x, train)
+        return x
+
+
+class DecBlock(nn.Module):
+    """Decoder block (reference: models/unet.py:129-152).
+
+    ``up_factor`` is the upsample scale (1 disables, matching the stride-1
+    DecBlocks of output_stride 8/16 configs).
+    """
+
+    features: int
+    up_factor: int = 2
+    is_trans_conv: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        if self.is_trans_conv:
+            # nnUNet-style: transposed conv maps lower_ch -> skip_ch.
+            x = nn.ConvTranspose(
+                features=skip.shape[-1],
+                kernel_size=(self.up_factor, self.up_factor),
+                strides=(self.up_factor, self.up_factor),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=torch_conv_kernel_init,
+                name="up_samp",
+            )(x)
+        elif self.up_factor != 1:
+            x = upsample2x_align_corners(x)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = DoubleConv(self.features, dtype=self.dtype, name="conv_block")(x, train)
+        return x
+
+
+class UNet(nn.Module):
+    """The segmentation backbone; returns a dict of named end-points.
+
+    Constructor args mirror the reference (models/unet.py:10-20); tensors
+    are NHWC.  ``dtype`` selects the activation compute dtype (bfloat16 for
+    speed; params and BN stats stay float32).  Logits are always returned in
+    float32.
+    """
+
+    input_ch: int = 1
+    init_ch: int = 32
+    max_ch: int = 512
+    num_classes: int = 4
+    output_stride: int = 32
+    is_stride_conv: bool = False
+    is_trans_conv: bool = False
+    elab_end_points: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.is_trans_conv == self.is_stride_conv, (
+            "Only combo of stride_conv and trans_conv or maxpool and upsample is allowed.")
+        assert self.output_stride in (8, 16, 32)
+        ch = [min(self.max_ch, (2 ** k) * self.init_ch) for k in range(6)]
+        dt = self.dtype
+        x = x.astype(dt)
+
+        enc1 = EncBlock(ch[0], do_subsamp=False, is_stride_conv=self.is_stride_conv,
+                        dtype=dt, name="enc_block1")(x, train)
+        enc2 = EncBlock(ch[1], is_stride_conv=self.is_stride_conv,
+                        dtype=dt, name="enc_block2")(enc1, train)
+        enc3 = EncBlock(ch[2], is_stride_conv=self.is_stride_conv,
+                        dtype=dt, name="enc_block3")(enc2, train)
+        enc4 = EncBlock(ch[3], is_stride_conv=self.is_stride_conv,
+                        dtype=dt, name="enc_block4")(enc3, train)
+
+        if self.output_stride == 32:
+            enc5 = EncBlock(ch[4], is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block5")(enc4, train)
+            enc6 = EncBlock(ch[5], is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block6")(enc5, train)
+            up5, up4 = 2, 2
+        elif self.output_stride == 16:
+            enc5 = EncBlock(ch[4], is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block5")(enc4, train)
+            enc6 = EncBlock(ch[5], do_subsamp=False, dilation=2,
+                            is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block6")(enc5, train)
+            up5, up4 = 1, 2
+        else:  # output_stride == 8 (driver default, train_chaos.py:74)
+            enc5 = EncBlock(ch[4], do_subsamp=False, dilation=2,
+                            is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block5")(enc4, train)
+            enc6 = EncBlock(ch[5], do_subsamp=False, dilation=4,
+                            is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block6")(enc5, train)
+            up5, up4 = 1, 1
+
+        dec5 = DecBlock(ch[4], up_factor=up5, is_trans_conv=self.is_trans_conv,
+                        dtype=dt, name="dec_block5")(enc6, enc5, train)
+        dec4 = DecBlock(ch[3], up_factor=up4, is_trans_conv=self.is_trans_conv,
+                        dtype=dt, name="dec_block4")(dec5, enc4, train)
+        dec3 = DecBlock(ch[2], up_factor=2, is_trans_conv=self.is_trans_conv,
+                        dtype=dt, name="dec_block3")(dec4, enc3, train)
+        dec2 = DecBlock(ch[1], up_factor=2, is_trans_conv=self.is_trans_conv,
+                        dtype=dt, name="dec_block2")(dec3, enc2, train)
+        dec1 = DecBlock(ch[0], up_factor=2, is_trans_conv=self.is_trans_conv,
+                        dtype=dt, name="dec_block1")(dec2, enc1, train)
+
+        fan_in = dec1.shape[-1]
+        logits = nn.Conv(
+            features=self.num_classes,
+            kernel_size=(1, 1),
+            dtype=dt,
+            param_dtype=jnp.float32,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            name="final_conv",
+        )(dec1)
+        logits = logits.astype(jnp.float32)
+
+        if not self.elab_end_points:
+            return {"segmentation/logits": logits}
+        return {
+            "encoder/stage1": enc1,
+            "encoder/stage2": enc2,
+            "encoder/stage3": enc3,
+            "encoder/stage4": enc4,
+            "encoder/stage5": enc5,
+            "encoder/stage6": enc6,
+            "decoder/stage5": dec5,
+            "decoder/stage4": dec4,
+            "decoder/stage3": dec3,
+            "decoder/stage2": dec2,
+            "decoder/stage1": dec1,
+            "segmentation/logits": logits,
+        }

@@ -1,0 +1,101 @@
+"""UNet shape/structure tests (reference: models/unet.py).
+
+Verifies per-stage spatial sizes for every output_stride, end-point naming,
+the upsample parity helper, and parameter-count sanity.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pacingpseudo_tpu.models import UNet
+from pacingpseudo_tpu.ops import bilinear_resize_align_corners
+
+
+def _init_and_run(os_, h=64, w=64, elab=True, **kw):
+    model = UNet(num_classes=4, output_stride=os_, elab_end_points=elab, **kw)
+    x = jnp.zeros((1, h, w, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    return model, variables, out
+
+
+@pytest.mark.parametrize("os_,stage56_stride", [(32, (16, 32)), (16, (16, 16)), (8, (8, 8))])
+def test_endpoint_shapes(os_, stage56_stride):
+    h = w = 64
+    _, _, out = _init_and_run(os_, h, w)
+    # encoder stage k (1..4) is at stride 2^(k-1)
+    for k, s in zip(range(1, 5), [1, 2, 4, 8]):
+        assert out[f"encoder/stage{k}"].shape[1:3] == (h // s, w // s)
+    s5, s6 = stage56_stride
+    assert out["encoder/stage5"].shape[1:3] == (h // s5, w // s5)
+    assert out["encoder/stage6"].shape[1:3] == (h // s6, w // s6)
+    # logits always at full resolution
+    assert out["segmentation/logits"].shape == (1, h, w, 4)
+    # channels: 32,64,128,256,512,512 at defaults (unet.py:27-31)
+    for k, c in zip(range(1, 7), [32, 64, 128, 256, 512, 512]):
+        assert out[f"encoder/stage{k}"].shape[-1] == c
+
+
+def test_endpoint_names_without_elab():
+    _, _, out = _init_and_run(8, 32, 32, elab=False)
+    assert set(out.keys()) == {"segmentation/logits"}
+
+
+def test_endpoint_names_with_elab():
+    _, _, out = _init_and_run(8, 32, 32, elab=True)
+    expect = {f"encoder/stage{k}" for k in range(1, 7)}
+    expect |= {f"decoder/stage{k}" for k in range(1, 6)}
+    expect |= {"segmentation/logits"}
+    assert set(out.keys()) == expect
+
+
+def test_param_count_matches_reference_exactly():
+    """The torch reference UNet (input_ch=1, init_ch=32, max_ch=512,
+    num_classes=4, any output_stride, upsample decoder) has exactly
+    19,654,692 parameters (measured: sum(p.numel()) on reference
+    models/unet.py).  Identical layer inventory => identical count."""
+    model, variables, _ = _init_and_run(8, 32, 32)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    assert n_params == 19654692
+
+
+def test_stride_conv_trans_conv_variant():
+    _, _, out = _init_and_run(32, 64, 64, is_stride_conv=True, is_trans_conv=True)
+    assert out["segmentation/logits"].shape == (1, 64, 64, 4)
+
+
+def test_mismatched_variant_asserts():
+    with pytest.raises(AssertionError):
+        _init_and_run(32, 32, 32, is_stride_conv=True, is_trans_conv=False)
+
+
+def test_bilinear_align_corners_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 7, 9, 3).astype(np.float32)
+    ours = np.asarray(bilinear_resize_align_corners(jnp.asarray(x), 14, 18))
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    ref = torch.nn.functional.interpolate(tx, size=(14, 18), mode="bilinear", align_corners=True)
+    ref = np.moveaxis(ref.numpy(), 1, -1)
+    assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_upsample2x_matches_torch_upsample():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 8, 8, 4).astype(np.float32)
+    ours = np.asarray(bilinear_resize_align_corners(jnp.asarray(x), 16, 16))
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    up = torch.nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)
+    ref = np.moveaxis(up(tx).numpy(), 1, -1)
+    assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_batch_stats_updated_in_train_mode():
+    model = UNet(num_classes=4, output_stride=32, elab_end_points=False)
+    x = jnp.ones((2, 32, 32, 1), jnp.float32) * 3.0
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
