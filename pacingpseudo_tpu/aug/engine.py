@@ -1,0 +1,382 @@
+"""On-device augmentation engine: one fused warp per sample, vmapped.
+
+Re-design of the reference host-side augmentation chain
+(datasets/augmentations.py, applied per worker process in
+chaos_dataset.py:58-90) as a single jit-compatible XLA program:
+
+* every *geometric* base transform — Scaling, ElasticTransform,
+  RandomRotation, Mirroring, RandomCrop — is composed into ONE inverse
+  coordinate map evaluated on the static crop canvas, so each tensor is
+  gathered exactly once (images bilinear, labels/scribbles class-vote; see
+  ops/warp.py);
+* the probabilistic "apply with p" gates become parameter selections
+  (scale=1, angle=0, alpha=0, no flip) — no control flow, no retraces;
+* intensity ops (MeanStdNorm, GaussianNoise and the strong-stream
+  Brightness/Contrast/Gamma/Blur/Mixup/LowRes) act on the fixed canvas;
+* the strong stream is derived on device from the *same* base-transformed
+  batch, preserving the reference's pixel-alignment invariant (strong
+  transforms are intensity-only, chaos_aug_configs.py:63-186, applied after
+  the shared base pipeline, chaos_dataset.py:69-76).
+
+Inputs are host-padded source canvases: ``image/label/scribble`` of static
+shape (S, S) plus the live extent ``size=(h, w)``; padding uses 0 for the
+image and ``ignored_index`` for label/scribble.
+
+Documented deviations from the reference (statistical, not semantic —
+SURVEY.md §7 accepts DSC-level parity for the resample-order transforms):
+  * single bilinear tap instead of chained cubic resamples;
+  * the elastic displacement field is evaluated on the output canvas grid
+    (not the intermediate scaled grid) — identically distributed smooth
+    field, zero extra gathers;
+  * the second MeanStdNorm computes statistics over the crop-visible region
+    instead of the full pre-crop array.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from pacingpseudo_tpu.aug.params import BaseAugParams, StrongAugParams
+from pacingpseudo_tpu.ops.warp import (
+    bilinear_sample,
+    label_vote_sample,
+    separable_gaussian_blur,
+)
+
+_EPS = 1e-8
+
+
+def _region_stats(x, mask):
+    """Mean/std over ``mask`` (population std, like np.std)."""
+    cnt = jnp.maximum(jnp.sum(mask), 1.0)
+    mean = jnp.sum(x * mask) / cnt
+    var = jnp.sum(jnp.square(x - mean) * mask) / cnt
+    return mean, jnp.sqrt(var)
+
+
+def _bern(key, p):
+    return jax.random.uniform(key) < p
+
+
+def _uniform(key, lo, hi):
+    return jax.random.uniform(key, minval=lo, maxval=hi)
+
+
+def _randint_traced(key, maxval_inclusive):
+    """randint in [0, maxval_inclusive] with a traced bound."""
+    u = jax.random.uniform(key)
+    return jnp.floor(u * (maxval_inclusive.astype(jnp.float32) + 1.0)).astype(jnp.int32)
+
+
+def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
+    """Apply the fused base pipeline to one sample.
+
+    Args:
+      image/label/scribble: (S, S) padded source canvases.
+      size: (2,) int32 live extent (h, w).
+      key: PRNG key for this sample.
+
+    Returns:
+      dict with ``image/label/scribble`` of shape ``crop_size`` and
+      ``valid_mask`` marking the crop-visible region
+      (augmentations.py:368-419 RandomCrop semantics).
+    """
+    ch, cw = p.crop_size
+    keys = jax.random.split(key, 16)
+    h = size[0].astype(jnp.float32)
+    w = size[1].astype(jnp.float32)
+
+    # ---- MeanStdNorm #1 over the live region (augmentations.py:11-21;
+    # the reference normalises the raw loaded slice).
+    s_dim = image.shape[0]
+    iy = jax.lax.broadcasted_iota(jnp.int32, image.shape, 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, image.shape, 1)
+    region = ((iy < size[0]) & (ix < size[1])).astype(jnp.float32)
+    mean1, std1 = _region_stats(image, region)
+    img = (image - mean1) / (std1 + _EPS)
+
+    # ---- Sample transform parameters (gated by probabilities).
+    do_scale = _bern(keys[0], p.p_scale)
+    scale = jnp.where(do_scale, _uniform(keys[1], *p.scale_range), 1.0)
+    new_h = jnp.round(scale * h)
+    new_w = jnp.round(scale * w)
+
+    do_el = _bern(keys[2], p.p_elastic)
+    sigma = _uniform(keys[3], *p.sigma_range)
+    alpha = jnp.where(do_el, _uniform(keys[4], *p.alpha_range), 0.0)
+
+    do_rot = _bern(keys[5], p.p_rotate)
+    theta = jnp.where(
+        do_rot,
+        _uniform(keys[6], *p.degree_range) * (jnp.pi / 180.0),
+        0.0)
+
+    flip_y = _bern(keys[7], p.p_mirror_y)
+    flip_x = _bern(keys[8], p.p_mirror_x)
+
+    do_noise = _bern(keys[9], p.p_noise)
+    noise_scale = jnp.where(do_noise, _uniform(keys[10], *p.noise_scale_range), 0.0)
+
+    # ---- Crop offsets (augmentations.py:386-398): crop when the scaled
+    # image exceeds the canvas, embed (random canvas offset) otherwise.
+    h_margin = (new_h - ch).astype(jnp.int32)
+    w_margin = (new_w - cw).astype(jnp.int32)
+    off_y = jnp.where(
+        h_margin > 0,
+        _randint_traced(keys[11], jnp.maximum(h_margin, 0)),
+        -_randint_traced(keys[12], jnp.maximum(-h_margin, 0)))
+    off_x = jnp.where(
+        w_margin > 0,
+        _randint_traced(keys[13], jnp.maximum(w_margin, 0)),
+        -_randint_traced(keys[14], jnp.maximum(-w_margin, 0)))
+
+    # ---- Compose the inverse coordinate map on the output canvas grid.
+    oy = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+    ox = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
+
+    # crop: canvas pixel -> scaled-image coordinate
+    yc = oy + off_y
+    xc = ox + off_x
+    crop_valid = (yc >= 0) & (yc <= new_h - 1) & (xc >= 0) & (xc <= new_w - 1)
+
+    # mirror on the scaled image (axis 0 = rows, axis 1 = cols)
+    yc = jnp.where(flip_y, new_h - 1.0 - yc, yc)
+    xc = jnp.where(flip_x, new_w - 1.0 - xc, xc)
+
+    # inverse rotation about the scaled-image centre (cv2 centre convention
+    # (w/2, h/2), augmentations.py:306)
+    cyc = new_h / 2.0
+    cxc = new_w / 2.0
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    rel_x = xc - cxc
+    rel_y = yc - cyc
+    qx = cos_t * rel_x - sin_t * rel_y + cxc
+    qy = sin_t * rel_x + cos_t * rel_y + cyc
+    rot_valid = (qy >= 0) & (qy <= new_h - 1) & (qx >= 0) & (qx <= new_w - 1)
+
+    # elastic displacement, evaluated on the static canvas grid
+    field_y = separable_gaussian_blur(
+        jax.random.uniform(keys[15], (ch, cw)) * 2.0 - 1.0,
+        sigma, p.elastic_blur_radius) * alpha
+    field_x = separable_gaussian_blur(
+        jax.random.uniform(jax.random.fold_in(keys[15], 1), (ch, cw)) * 2.0 - 1.0,
+        sigma, p.elastic_blur_radius) * alpha
+    qy = jnp.clip(qy + field_y, 0.0, new_h - 1.0)   # mode='nearest' clamp
+    qx = jnp.clip(qx + field_x, 0.0, new_w - 1.0)
+
+    # inverse scaling: scaled-image coordinate -> source coordinate
+    # (skimage.resize half-pixel convention, augmentations.py:214)
+    sy = (qy + 0.5) * (h / jnp.maximum(new_h, 1.0)) - 0.5
+    sx = (qx + 0.5) * (w / jnp.maximum(new_w, 1.0)) - 0.5
+
+    # ---- Single gather per tensor.
+    img_out = bilinear_sample(img, sy, sx, bound_h=h, bound_w=w)
+    num_vals = p.num_classes + 1
+    lab_out = label_vote_sample(label, sy, sx, num_vals, bound_h=h, bound_w=w)
+    scb_out = label_vote_sample(scribble, sy, sx, num_vals, bound_h=h, bound_w=w)
+
+    # rotation padding (image 0 / labels ignored_index, augmentations.py:294-312)
+    ign = jnp.int32(p.ignored_index)
+    img_out = jnp.where(rot_valid, img_out, 0.0)
+    lab_out = jnp.where(rot_valid, lab_out, ign)
+    scb_out = jnp.where(rot_valid, scb_out, ign)
+
+    # noise (before the 2nd norm, augmentations.py:353-366)
+    img_out = img_out + jax.random.normal(
+        jax.random.fold_in(keys[15], 2), (ch, cw)) * noise_scale
+
+    # ---- MeanStdNorm #2 over the crop-visible region.
+    vmask = crop_valid.astype(jnp.float32)
+    mean2, std2 = _region_stats(img_out, vmask)
+    img_out = (img_out - mean2) / (std2 + _EPS)
+
+    # crop embedding pads (augmentations.py:400-418)
+    img_out = jnp.where(crop_valid, img_out, 0.0)
+    lab_out = jnp.where(crop_valid, lab_out, ign)
+    scb_out = jnp.where(crop_valid, scb_out, ign)
+
+    return {
+        "image": img_out,
+        "label": lab_out,
+        "scribble": scb_out,
+        "valid_mask": vmask,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Strong (intensity) stream — reference chaos_aug_configs.py:63-186
+# ---------------------------------------------------------------------------
+
+def strong_augment_sample(image, partner, key, p: StrongAugParams):
+    """Intensity-only strong transforms on a base-transformed (H, W) image.
+
+    ``partner`` is another sample's normalised raw crop used by the Mixup
+    variant (the reference mixes with a random dataset file,
+    augmentations.py:51-81; on device we mix with a batch peer).
+    """
+    keys = jax.random.split(key, 12)
+    img = image
+
+    # Brightness (augmentations.py:98-111)
+    do_b = _bern(keys[0], p.p_brightness)
+    img = img + jnp.where(do_b, _uniform(keys[1], *p.brightness_range), 0.0)
+
+    # Contrast (augmentations.py:113-129)
+    do_c = _bern(keys[2], p.p_contrast)
+    factor = jnp.where(do_c, _uniform(keys[3], *p.contrast_range), 1.0)
+    mean_ = jnp.mean(img)
+    mn, mx = jnp.min(img), jnp.max(img)
+    img = jnp.clip((img - mean_) * factor + mean_, mn, mx)
+
+    # Gamma with biased sampling + retain-stats (augmentations.py:131-166)
+    do_g = _bern(keys[4], p.p_gamma)
+    lo, hi = p.gamma_range
+    pick_low = (jax.random.uniform(keys[5]) < 0.5) & (lo < 1.0)
+    gamma = jnp.where(
+        pick_low,
+        _uniform(keys[6], lo, 1.0),
+        _uniform(keys[6], max(1.0, lo), hi))
+    gamma = jnp.where(do_g, gamma, 1.0)
+    g_in = -img if p.gamma_invert else img
+    mean_g, std_g = jnp.mean(g_in), jnp.std(g_in)
+    mn_g, mx_g = jnp.min(g_in), jnp.max(g_in)
+    g = jnp.power(jnp.clip((g_in - mn_g) / (mx_g - mn_g + _EPS), 0.0, 1.0), gamma)
+    if p.gamma_retain_stats:
+        g = (g - jnp.mean(g)) / (jnp.std(g) + _EPS)
+        g = g * std_g + mean_g
+    g = -g if p.gamma_invert else g
+    img = jnp.where(do_g, g, img)
+
+    # Variant extras --------------------------------------------------------
+    if p.p_blur > 0:
+        do_bl = _bern(keys[7], p.p_blur)
+        sig = _uniform(keys[8], *p.blur_sigma_range)
+        blurred = separable_gaussian_blur(img, sig, p.blur_radius)
+        img = jnp.where(do_bl, blurred, img)
+
+    if p.p_mixup > 0:
+        do_m = _bern(keys[9], p.p_mixup)
+        lam = jnp.where(do_m, _uniform(keys[10], *p.mixup_lam_range), 1.0)
+        img = img * lam + partner * (1.0 - lam)
+
+    if p.p_lowres > 0:
+        # Simulate low resolution by snapping sample coordinates to a coarse
+        # grid (nearest-downsample) and bilinearly reading the fine image —
+        # the static-shape equivalent of resize-down(order 0)/up(order 3)
+        # (augmentations.py:168-189).
+        do_l = _bern(keys[7], p.p_lowres)
+        s = _uniform(keys[8], *p.lowres_scale_range)
+        hh, ww = img.shape
+        oy = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 0)
+        ox = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 1)
+        cy = jnp.round(jnp.floor(oy / s) * s + (s - 1.0) / 2.0)
+        cx = jnp.round(jnp.floor(ox / s) * s + (s - 1.0) / 2.0)
+        low = bilinear_sample(img, cy, cx)
+        img = jnp.where(do_l, low, img)
+
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Batch-level entry points
+# ---------------------------------------------------------------------------
+
+def _finalize(one_hot_classes, out, do_strong, strong_img=None):
+    """Convert hard labels to the one-hot layout the losses expect
+    (ToTorchTensor semantics, augmentations.py:421-446): label one-hot over
+    ``C`` channels (ignored pixels become all-zero rows), scribble over
+    ``C+1``."""
+    c = one_hot_classes
+    batch = {
+        "image": out["image"][..., None],
+        "label": jax.nn.one_hot(out["label"], c),
+        "scribble": jax.nn.one_hot(out["scribble"], c + 1),
+        "valid_mask": out["valid_mask"][..., None],
+    }
+    if do_strong:
+        batch["image_strong"] = strong_img[..., None]
+    return batch
+
+
+@functools.partial(jax.jit, static_argnames=("base_params", "strong_params", "do_strong"))
+def augment_batch(raw: Dict[str, jnp.ndarray], rng,
+                  base_params: BaseAugParams,
+                  strong_params: StrongAugParams = None,
+                  do_strong: bool = False):
+    """Augment a whole raw batch on device.
+
+    Args:
+      raw: dict of host-padded canvases — ``image/label/scribble``
+        (N, S, S) and ``size`` (N, 2).
+      rng: one PRNG key; split per sample (fixing the reference's
+        worker-duplicated numpy RNG quirk by construction, SURVEY.md §5).
+
+    Returns:
+      Training batch: ``image`` (N, H, W, 1) f32, ``label`` (N, H, W, C),
+      ``scribble`` (N, H, W, C+1), ``valid_mask`` (N, H, W, 1), and
+      ``image_strong`` when ``do_strong``.
+    """
+    n = raw["image"].shape[0]
+    keys = jax.random.split(rng, n + 1)
+    sample_keys = keys[:n]
+
+    base = jax.vmap(
+        lambda im, la, sc, sz, k: base_augment_sample(im, la, sc, sz, k, base_params)
+    )(raw["image"], raw["label"], raw["scribble"], raw["size"], sample_keys)
+
+    strong_img = None
+    if do_strong:
+        strong_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(sample_keys)
+        # Mixup partners: base-normalised image of a shifted batch peer.
+        shift = jax.random.randint(keys[n], (), 1, jnp.maximum(n, 2))
+        partners = jnp.roll(base["image"], shift, axis=0)
+        strong_img = jax.vmap(
+            lambda im, pa, k: strong_augment_sample(im, pa, k, strong_params)
+        )(base["image"], partners, strong_keys)
+
+    return _finalize(base_params.num_classes, base, do_strong, strong_img)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def eval_preprocess_batch(raw: Dict[str, jnp.ndarray], num_classes: int):
+    """Validation/inference preprocessing: MeanStdNorm only (reference:
+    train_chaos.py:234 / inference.py:127 use ``base_transforms=
+    [MeanStdNorm()]``), on the padded canvas with a live-region mask.
+
+    Returns image (N, S, S, 1), label one-hot (N, S, S, C), scribble one-hot
+    (N, S, S, C+1), and ``region_mask`` (N, S, S, 1) for masked metrics.
+    """
+    image = raw["image"]
+    n, s, _ = image.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, s, s), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, s, s), 2)
+    region = ((row < raw["size"][:, 0, None, None]) &
+              (col < raw["size"][:, 1, None, None])).astype(jnp.float32)
+    cnt = jnp.maximum(region.sum(axis=(1, 2), keepdims=True), 1.0)
+    mean = (image * region).sum(axis=(1, 2), keepdims=True) / cnt
+    var = (jnp.square(image - mean) * region).sum(axis=(1, 2), keepdims=True) / cnt
+    img = (image - mean) / (jnp.sqrt(var) + _EPS)
+    img = img * region  # keep padding at 0 after normalisation
+    return {
+        "image": img[..., None],
+        "label": jax.nn.one_hot(raw["label"].astype(jnp.int32), num_classes) *
+                 region[..., None],
+        "scribble": jax.nn.one_hot(raw["scribble"].astype(jnp.int32), num_classes + 1),
+        "region_mask": region[..., None],
+    }
+
+
+def make_train_augment_fn(base_params: BaseAugParams,
+                          strong_params: StrongAugParams = None,
+                          do_strong: bool = False):
+    """Bind static params: returns ``(raw_batch, rng) -> train_batch`` for
+    fusing into the jitted train step (train/step.py augment_fn)."""
+
+    def fn(raw, rng):
+        return augment_batch(raw, rng, base_params, strong_params, do_strong)
+
+    return fn

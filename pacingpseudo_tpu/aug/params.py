@@ -1,0 +1,91 @@
+"""Static augmentation parameter bundles.
+
+These replace the reference's transform-object lists + per-dataset config
+modules (reference: datasets/augmentations.py:11-446,
+datasets/chaos/chaos_aug_configs.py:16-186 and the acdc/lvsc twins).  Every
+field is static (baked into the jitted augmentation program); the random
+draws happen on device from PRNG keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseAugParams:
+    """The shared geometric + noise 'base_transforms' pipeline.
+
+    Defaults mirror chaos_aug_configs.py:16-61 (identical in the acdc/lvsc
+    configs apart from the dataset constants).
+    """
+
+    crop_size: Tuple[int, int] = (256, 256)
+    num_classes: int = 5
+    ignored_index: int = 5
+
+    # Scaling (augmentations.py:191-230)
+    p_scale: float = 0.2
+    scale_range: Tuple[float, float] = (0.7, 1.4)
+
+    # ElasticTransform (augmentations.py:232-277)
+    p_elastic: float = 0.2
+    sigma_range: Tuple[float, float] = (9.0, 13.0)
+    alpha_range: Tuple[float, float] = (0.0, 200.0)
+    elastic_blur_radius: int = 52        # = round(4 * sigma_max)
+
+    # RandomRotation (augmentations.py:279-317); chaos config uses (-30, 30)
+    p_rotate: float = 0.2
+    degree_range: Tuple[float, float] = (-30.0, 30.0)
+
+    # Mirroring per axis (augmentations.py:337-351)
+    p_mirror_y: float = 0.5
+    p_mirror_x: float = 0.5
+
+    # GaussianNoise (augmentations.py:353-366)
+    p_noise: float = 0.15
+    noise_scale_range: Tuple[float, float] = (0.0, 0.1)
+
+
+@dataclasses.dataclass(frozen=True)
+class StrongAugParams:
+    """Intensity-only strong-stream transforms.
+
+    Defaults mirror the ``TransformsColor`` preset at strength 1
+    (chaos_aug_configs.py:63-89): Brightness/Contrast/Gamma each p=0.8 with
+    ranges scaled by ``strength * 0.8``.  The optional extras select the
+    ColorBlur / ColorMixup / ColorLow variants (:91-186).
+    """
+
+    p_brightness: float = 0.8
+    brightness_range: Tuple[float, float] = (-0.8, 0.8)
+
+    p_contrast: float = 0.8
+    contrast_range: Tuple[float, float] = (0.2, 1.8)
+
+    p_gamma: float = 0.8
+    gamma_range: Tuple[float, float] = (0.2, 1.8)
+    gamma_retain_stats: bool = True
+    gamma_invert: bool = False
+
+    # Variant extras (exactly one of these is enabled per preset)
+    p_blur: float = 0.0                      # ColorBlur: 0.8, sigma U(1, 1.5)
+    blur_sigma_range: Tuple[float, float] = (1.0, 1.5)
+    blur_radius: int = 6                     # = round(4 * sigma_max)
+
+    p_mixup: float = 0.0                     # ColorMixup: 0.8, lam U(0.8, 1)
+    mixup_lam_range: Tuple[float, float] = (0.8, 1.0)
+
+    p_lowres: float = 0.0                    # ColorLow: 0.8, scale U(1.5, 2)
+    lowres_scale_range: Tuple[float, float] = (1.5, 2.0)
+
+    @staticmethod
+    def color(strength: float = 1.0, **extra) -> "StrongAugParams":
+        """Build the color triple at a given strength (chaos_aug_configs.py:70-88)."""
+        s = strength * 0.8
+        return StrongAugParams(
+            brightness_range=(-s, s),
+            contrast_range=(max(0.0, 1 - s), 1 + s),
+            gamma_range=(max(0.0, 1 - s), 1 + s),
+            **extra,
+        )

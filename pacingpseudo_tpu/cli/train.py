@@ -1,0 +1,192 @@
+"""Training CLI — argv-compatible with the reference drivers.
+
+``python train_chaos.py --session Experiment --tag mytag --fold 0 ...``
+works unchanged (flag names/defaults from train_chaos.py:23-179); the
+``--session Upperbound`` path replaces upper_bound_chaos.py (its extra
+``--loss_dice`` flag included, upper_bound_chaos.py:81).  One driver serves
+all three datasets via ``--dataset`` (the reference shipped CHAOS drivers
+only; SURVEY.md §2 flags ACDC/LVSC training as an API gap this closes).
+
+TPU-specific additions (no reference analogue): ``--data_root``,
+``--compute_dtype``, ``--no_fuse_streams``, ``--memory_update_mode``,
+``--ref_quirk_bn_eval_after_first_epoch``, ``--num_devices``, ``--resume``,
+``--synthetic_data`` (build a synthetic dataset on the fly for smoke runs).
+"""
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from pacingpseudo_tpu.config import DATASETS, ExperimentConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="pacingpseudo_tpu trainer")
+    # Session (train_chaos.py:26-41)
+    p.add_argument("--gpu", type=str, default="0",
+                   help="accepted for CLI compatibility; ignored (TPU runtime)")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--dataset", type=str, default="chaos",
+                   choices=["chaos", "chaost1", "chaost2", "acdc", "lvsc"])
+    p.add_argument("--root", type=str, default="./outputs/chaos")
+    p.add_argument("--session", type=str, default="Control",
+                   choices=["Control", "Experiment", "Upperbound"])
+    p.add_argument("--tag", type=str, required=True)
+    # Dataset (train_chaos.py:44-61)
+    p.add_argument("--fold", type=int, default=1, choices=[0, 1, 2, 3, 4])
+    p.add_argument("--modality", type=str, default="t1", choices=["t1", "t2"])
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="defaults to the dataset's class count")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host loader threads")
+    p.add_argument("--augmentations", type=str, default="TransformsColor",
+                   choices=["TransformsColor", "TransformsColorBlur",
+                            "TransformsColorMixup", "TransformsColorLow"])
+    # Network (train_chaos.py:65-84)
+    p.add_argument("--input_ch", type=int, default=1)
+    p.add_argument("--init_ch", type=int, default=32)
+    p.add_argument("--max_ch", type=int, default=512)
+    p.add_argument("--output_stride", type=int, default=8, choices=[32, 16, 8])
+    p.add_argument("--is_stride_conv", action="store_true", default=False)
+    p.add_argument("--is_trans_conv", action="store_true", default=False)
+    p.add_argument("--elab_end_points", type=bool, default=True)
+    # Optimizer (train_chaos.py:87-112)
+    p.add_argument("--ignored_index", type=int, default=None)
+    p.add_argument("--epoch", type=int, default=None,
+                   help="defaults to 400 (40 for LVSC)")
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=["adam", "momentum"])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_decay", type=str, default="poly",
+                   choices=["linear", "poly", "cosine"])
+    p.add_argument("--wd", type=float, default=3e-4)
+    p.add_argument("--ckp_interval", type=int, default=10000)
+    # Entropy minimisation (train_chaos.py:116-126)
+    p.add_argument("--do_loss_ent", action="store_true", default=False)
+    p.add_argument("--loss_ent_weight", type=float, default=1.0)
+    p.add_argument("--ramp_up_loss_ent", action="store_true", default=True)
+    p.add_argument("--ramp_up_scale", type=float, default=8.0)
+    # Consistency (train_chaos.py:129-145)
+    p.add_argument("--do_decoder_consistency", action="store_true", default=False)
+    p.add_argument("--ramp_up_loss_cr", action="store_true", default=True)
+    p.add_argument("--detach_weak_cr", action="store_true", default=False)
+    p.add_argument("--loss_cr_variants", type=str, default="ce_loss",
+                   choices=["ce_loss", "l1_loss", "l2_loss", "kl_loss"])
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--loss_cr_weight", type=float, default=1.0)
+    # Aux path (train_chaos.py:148-166)
+    p.add_argument("--do_aux_path", action="store_true", default=False)
+    p.add_argument("--feat_stage", type=str, nargs="+",
+                   default=["encoder/stage6", "encoder/stage5"])
+    p.add_argument("--loss_aux_weight", type=float, default=0.01)
+    p.add_argument("--hid_ch", type=int, default=64)
+    p.add_argument("--aux_drop_prob", type=float, default=0.0)
+    # Memory bank (train_chaos.py:169-179)
+    p.add_argument("--do_memory", action="store_true", default=False)
+    p.add_argument("--loss_memory_weight", type=float, default=1.0)
+    p.add_argument("--update_momentum", type=float, default=0.9)
+    p.add_argument("--ensemble_mode", type=str, default="cosine_similarity",
+                   choices=["cosine_similarity", "mean"])
+    # Upper bound (upper_bound_chaos.py:81)
+    p.add_argument("--loss_dice", type=bool, default=True)
+    # TPU-native extensions
+    p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--no_fuse_streams", action="store_true", default=False)
+    p.add_argument("--memory_update_mode", type=str, default="all",
+                   choices=["all", "first"])
+    p.add_argument("--ref_quirk_bn_eval_after_first_epoch", action="store_true",
+                   default=False)
+    p.add_argument("--num_devices", type=int, default=0)
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--max_steps_per_epoch", type=int, default=0,
+                   help="debug: cap steps per epoch")
+    p.add_argument("--synthetic_data", type=int, default=0,
+                   help="generate N synthetic slices under --data_root first")
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    spec = DATASETS[args.dataset]
+    return ExperimentConfig(
+        seed=args.seed,
+        dataset=args.dataset,
+        modality=args.modality,
+        root=args.root,
+        session=args.session,
+        tag=args.tag,
+        fold=args.fold,
+        num_classes=args.num_classes or spec.num_classes,
+        ignored_index=(args.ignored_index if args.ignored_index is not None
+                       else spec.ignored_index),
+        augmentations=args.augmentations,
+        strength=args.strength,
+        input_ch=args.input_ch,
+        init_ch=args.init_ch,
+        max_ch=args.max_ch,
+        output_stride=args.output_stride,
+        is_stride_conv=args.is_stride_conv,
+        is_trans_conv=args.is_trans_conv,
+        epoch=args.epoch or spec.default_epochs,
+        batch_size=args.batch_size,
+        optimizer=args.optimizer,
+        momentum=args.momentum,
+        lr=args.lr,
+        lr_decay=args.lr_decay,
+        wd=args.wd,
+        ckp_interval=args.ckp_interval,
+        do_loss_ent=args.do_loss_ent,
+        loss_ent_weight=args.loss_ent_weight,
+        ramp_up_loss_ent=args.ramp_up_loss_ent,
+        ramp_up_scale=args.ramp_up_scale,
+        do_decoder_consistency=args.do_decoder_consistency,
+        ramp_up_loss_cr=args.ramp_up_loss_cr,
+        detach_weak_cr=args.detach_weak_cr,
+        loss_cr_variants=args.loss_cr_variants,
+        loss_cr_weight=args.loss_cr_weight,
+        do_aux_path=args.do_aux_path,
+        feat_stage=tuple(args.feat_stage),
+        loss_aux_weight=args.loss_aux_weight,
+        hid_ch=args.hid_ch,
+        aux_drop_prob=args.aux_drop_prob,
+        do_memory=args.do_memory,
+        loss_memory_weight=args.loss_memory_weight,
+        update_momentum=args.update_momentum,
+        ensemble_mode=args.ensemble_mode,
+        loss_dice=args.loss_dice,
+        compute_dtype=args.compute_dtype,
+        fuse_streams=not args.no_fuse_streams,
+        memory_update_mode=args.memory_update_mode,
+        ref_quirk_bn_eval_after_first_epoch=args.ref_quirk_bn_eval_after_first_epoch,
+        num_devices=args.num_devices,
+        resume=args.resume,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    config = config_from_args(args).validate()
+
+    if args.synthetic_data:
+        from pacingpseudo_tpu.data.synthetic import write_synthetic_dataset
+        spec = DATASETS[config.dataset]
+        write_synthetic_dataset(
+            args.data_root, config.dataset, args.synthetic_data,
+            spec.input_size, config.num_classes, config.ignored_index,
+            modality=config.modality, seed=config.seed)
+
+    from pacingpseudo_tpu.train.loop import train_driver
+    return train_driver(config, args.data_root,
+                        max_steps_per_epoch=args.max_steps_per_epoch or None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Synthetic dataset fixtures: random geometric phantoms + skeleton scribbles.
+
+Serves the golden/parity tests and the end-to-end smoke paths (SURVEY.md §4
+recommends tiny synthetic ``.npz`` fixtures exercising the full TwoStream
+pipeline), and powers bench.py when no real data is mounted.  Each slice is
+a CHAOS-style ``.npz`` with keys ``uid/img/lab/scb`` (chaos_dataset.py:92-105):
+random soft-intensity ellipse "organs" per foreground class, the dense label,
+and an artificial scribble built with tools/scribbles.py (the same recipe the
+reference uses to fabricate LVSC scribbles).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from pacingpseudo_tpu.tools.scribbles import generate_scribble
+
+
+def make_phantom(rng: np.random.RandomState, size: Tuple[int, int],
+                 num_classes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """One synthetic slice: background + (num_classes-1) elliptical organs."""
+    h, w = size
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = rng.randn(h, w).astype(np.float32) * 0.05
+    lab = np.zeros((h, w), np.int32)
+    for c in range(1, num_classes):
+        cy = rng.uniform(0.25 * h, 0.75 * h)
+        cx = rng.uniform(0.25 * w, 0.75 * w)
+        ry = rng.uniform(0.06 * h, 0.16 * h)
+        rx = rng.uniform(0.06 * w, 0.16 * w)
+        theta = rng.uniform(0, np.pi)
+        dy = (yy - cy) * np.cos(theta) + (xx - cx) * np.sin(theta)
+        dx = -(yy - cy) * np.sin(theta) + (xx - cx) * np.cos(theta)
+        mask = (dy / ry) ** 2 + (dx / rx) ** 2 <= 1.0
+        lab[mask] = c
+        img[mask] += 0.4 + 0.4 * c / num_classes
+    img += rng.randn(h, w).astype(np.float32) * 0.02
+    return img.astype(np.float32), lab
+
+
+def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
+                            size: Tuple[int, int], num_classes: int,
+                            ignored_index: int, folds: int = 5,
+                            modality: str = "t1", seed: int = 0) -> List[str]:
+    """Write a reference-layout synthetic dataset under ``root``.
+
+    Produces ``<root>/<ds>/slices/*.npz`` plus the five-fold split txts in
+    the reference's directory convention (splits.py), so the real CLI
+    drivers run unmodified against it.
+    """
+    rng = np.random.RandomState(seed)
+    ds_dir = "chaos" if dataset in ("chaos", "chaost1", "chaost2") else dataset
+    slice_dir = os.path.join(root, ds_dir, "slices")
+    os.makedirs(slice_dir, exist_ok=True)
+
+    rel_paths = []
+    for i in range(num_slices):
+        img, lab = make_phantom(rng, size, num_classes)
+        scb = generate_scribble(lab, num_classes, ignored_index)
+        uid = f"syn{i:04d}"
+        rel = os.path.join("slices", uid + ".npz")
+        np.savez(os.path.join(slice_dir, uid + ".npz"),
+                 uid=uid, img=img, lab=lab.astype(np.float32),
+                 scb=scb.astype(np.float32))
+        rel_paths.append(rel)
+
+    split_base = os.path.join(root, ds_dir, "train_test_split", "five_fold_split")
+    if ds_dir == "chaos":
+        split_base = os.path.join(split_base, modality)
+    os.makedirs(split_base, exist_ok=True)
+    for fold in range(folds):
+        test = rel_paths[fold::folds]
+        train = [p for p in rel_paths if p not in test]
+        with open(os.path.join(split_base, f"train_fold{fold}.txt"), "w") as f:
+            f.write("\n".join(train) + "\n")
+        with open(os.path.join(split_base, f"test_fold{fold}.txt"), "w") as f:
+            f.write("\n".join(test) + "\n")
+    return rel_paths

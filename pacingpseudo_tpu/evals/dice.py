@@ -20,12 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def dice_per_class_jax(probs, target_one_hot, eps=1e-5):
+def dice_per_class_jax(probs, target_one_hot, eps=1e-5, region_mask=None):
     """Batched per-class validation Dice on device.
 
     Args:
       probs: ``(N, H, W, C)`` softmax values.
       target_one_hot: ``(N, H, W, C)`` one-hot full labels.
+      region_mask: optional ``(N, H, W, 1)`` live-region mask — restricts
+        the metric to the unpadded part of a fixed-size canvas, matching
+        the reference's evaluation on the original (unpadded) slice.
 
     Returns:
       ``(N, C)`` float32 Dice, NaN where prediction and target are both
@@ -35,6 +38,9 @@ def dice_per_class_jax(probs, target_one_hot, eps=1e-5):
     hard = jnp.argmax(probs, axis=-1)
     pred_one_hot = jax.nn.one_hot(hard, num_classes, dtype=jnp.float32)
     t = jnp.asarray(target_one_hot, jnp.float32)
+    if region_mask is not None:
+        pred_one_hot = pred_one_hot * region_mask
+        t = t * region_mask
 
     inter = jnp.sum(pred_one_hot * t, axis=(1, 2))      # (N, C)
     p_sum = jnp.sum(pred_one_hot, axis=(1, 2))

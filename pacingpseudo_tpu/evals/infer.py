@@ -1,0 +1,130 @@
+"""Inference harness: on-device forward + Dice, host-threaded HD95.
+
+Mirrors the reference evaluation loop (inference.py:97-194): per-slice
+per-class Dice (hard-label convention) and HD95 with per-dataset pixel
+spacing, accumulated by AvgMeters that skip NaNs, written to
+``eval_data.npz`` as (num_slices, num_classes) arrays, fold averages logged
+excluding background.
+
+TPU changes: slices run in fixed-size batches (the reference uses
+batch_size=1, inference.py:72); the forward, softmax and argmax stay on
+device; hard predictions stream to the host where the scipy-EDT HD95
+(evals/hd.py, medpy-parity) runs in a worker pool that overlaps the next
+device batch — the host/device split called for in SURVEY.md §7.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pacingpseudo_tpu.aug.engine import eval_preprocess_batch
+from pacingpseudo_tpu.config import DATASETS
+from pacingpseudo_tpu.data import BatchLoader, SliceDataset, read_test_split
+from pacingpseudo_tpu.evals.dice import compute_dice_hard
+from pacingpseudo_tpu.evals.hd import compute_95hd
+from pacingpseudo_tpu.models.unet import UNet
+from pacingpseudo_tpu.train.checkpoint import (
+    restore_batch_stats,
+    restore_params,
+    saved_is_siamese,
+)
+from pacingpseudo_tpu.utils import AvgMeter
+
+
+def run_inference(dataset: str, fold: int, checkpoint_path: str,
+                  data_root: str, run_dir: str, batch_size: int = 8,
+                  model_kwargs: Dict = None, compute_dtype: str = "bfloat16",
+                  num_workers: int = 4):
+    spec = DATASETS[dataset]
+    num_classes = spec.num_classes
+    spacing = spec.spacing
+    logging.info("Number of classes: %d", num_classes)
+    logging.info("Spacing: %s", (spacing,))
+
+    model_kwargs = dict(model_kwargs or {})
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    model = UNet(num_classes=num_classes, elab_end_points=False, dtype=dtype,
+                 **model_kwargs)
+
+    test_files = read_test_split(data_root, dataset, fold)
+    ds = SliceDataset(test_files, num_classes, spec.ignored_index)
+    loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
+                         num_threads=num_workers)
+    logging.info("Length %d", len(loader))
+
+    # Initialise template variables, then load the checkpoint (with the
+    # siamese backbone-extraction fallback, inference.py:138-146).
+    cs = ds.canvas_size
+    tmpl = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, cs, cs, 1), jnp.float32), train=False)
+    params = restore_params(checkpoint_path, tmpl["params"])
+    backbone_only = saved_is_siamese(checkpoint_path)
+    batch_stats = restore_batch_stats(checkpoint_path, tmpl["batch_stats"],
+                                      backbone_only)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def forward_hard(image):
+        out = model.apply(variables, image, train=False)
+        return jnp.argmax(out["segmentation/logits"], axis=-1)
+
+    dicearr: List[List[float]] = []
+    hd95arr: List[List[float]] = []
+    meter_dice = [AvgMeter() for _ in range(num_classes)]
+    meter_hd95 = [AvgMeter() for _ in range(num_classes)]
+
+    def host_metrics(pred, label, h, w):
+        p = pred[:h, :w]
+        l = label[:h, :w].astype(np.int64)
+        return (compute_dice_hard(p, l, num_classes),
+                compute_95hd(p, l, num_classes, spacing))
+
+    tic = time.time()
+    n_slices = 0
+    with concurrent.futures.ThreadPoolExecutor(max(num_workers, 1)) as pool:
+        pending = []
+        for raw in loader:
+            uids = raw.pop("uid")
+            proc = eval_preprocess_batch(
+                {k: jnp.asarray(v) for k, v in raw.items()}, num_classes)
+            preds = np.asarray(forward_hard(proc["image"]))
+            for i in range(preds.shape[0]):
+                h, w = int(raw["size"][i][0]), int(raw["size"][i][1])
+                pending.append(pool.submit(
+                    host_metrics, preds[i], raw["label"][i], h, w))
+                n_slices += 1
+        for fut in pending:
+            dicelog, hd95log = fut.result()
+            dicearr.append(dicelog)
+            hd95arr.append(hd95log)
+            for cls in range(num_classes):
+                if not np.isnan(dicelog[cls]):
+                    meter_dice[cls].update(dicelog[cls])
+                if not np.isnan(hd95log[cls]):
+                    meter_hd95[cls].update(hd95log[cls])
+    toc = time.time()
+
+    dicearr_np = np.asarray(dicearr, np.float32)
+    hd95arr_np = np.asarray(hd95arr, np.float32)
+    np.savez(os.path.join(run_dir, "eval_data"),
+             dicearr=dicearr_np, hd95arr=hd95arr_np)
+
+    foldavgdice = float(np.mean([meter_dice[c].avg for c in range(1, num_classes)]))
+    foldavghd95 = float(np.mean([meter_hd95[c].avg for c in range(1, num_classes)]))
+    logging.info("Dataset: %s", dataset)
+    logging.info("Number of classes: %d", num_classes)
+    logging.info("Fold %d, overall Dice: %.4f, overall HD95: %.2f",
+                 fold, foldavgdice, foldavghd95)
+    logging.info("Shape of the Dice array: %s", dicearr_np.shape)
+    logging.info("Shape of the HD95 array: %s", hd95arr_np.shape)
+    logging.info("%d slices in %.1fs (%.1f slices/s)",
+                 n_slices, toc - tic, n_slices / max(toc - tic, 1e-9))
+    return {"dice": foldavgdice, "hd95": foldavghd95,
+            "dicearr": dicearr_np, "hd95arr": hd95arr_np}

@@ -80,13 +80,26 @@ class PacingPseudoModel(nn.Module):
                 name="aux_path",
             )
 
-    def __call__(self, image, image_strong=None, train: bool = False):
+    def __call__(self, image, image_strong=None, train: bool = False,
+                 module_train=None):
+        """Run the siamese forward.
+
+        ``train`` selects the *mode* (whether the strong stream / aux path
+        run — reference ``mode='train'``); ``module_train`` selects the
+        torch-module train/eval state (BatchNorm batch-vs-running stats and
+        dropout).  They normally coincide, but the reference drivers switch
+        the module to eval() at the first validation and never back
+        (train_chaos.py:370), training epochs >= 1 with frozen BN; passing
+        ``module_train=False`` with ``train=True`` reproduces that.
+        """
+        if module_train is None:
+            module_train = train
         n, h, w, _ = image.shape
         outputs = {}
 
         if image_strong is not None and self.fuse_streams:
             both = jnp.concatenate([image, image_strong], axis=0)
-            end_points = self.backbone(both, train=train)
+            end_points = self.backbone(both, train=module_train)
             logits = end_points["segmentation/logits"]
             outputs["segmentation/logits"] = logits[:n]
             outputs["segmentation/logits_strong"] = logits[n:]
@@ -97,17 +110,17 @@ class PacingPseudoModel(nn.Module):
                 s: end_points[s][:n] for s in self.feat_stage
             } if self.do_aux_path else None
         else:
-            end_points = self.backbone(image, train=train)
+            end_points = self.backbone(image, train=module_train)
             outputs["segmentation/logits"] = end_points["segmentation/logits"]
             if image_strong is not None:
-                end_points_strong = self.backbone(image_strong, train=train)
+                end_points_strong = self.backbone(image_strong, train=module_train)
                 outputs["segmentation/logits_strong"] = (
                     end_points_strong["segmentation/logits"])
             weak_end_points = end_points if self.do_aux_path else None
 
         if self.do_aux_path and train:
             aux_features, logits_aux = self.aux_path(
-                weak_end_points, (h, w), train=train)
+                weak_end_points, (h, w), train=module_train)
             outputs["aux/features"] = aux_features
             outputs["aux/logits"] = logits_aux
 

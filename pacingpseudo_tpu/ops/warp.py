@@ -1,0 +1,131 @@
+"""Resampling primitives for the fused on-device augmentation warp.
+
+The reference augmentation chain resamples up to three times per sample on
+the host (scale -> elastic -> rotate, datasets/augmentations.py:191-317).
+The TPU engine composes every geometric transform into ONE inverse
+coordinate map per output pixel and samples the source exactly once:
+
+* images: bilinear gather (4 taps).  The reference uses cubic (order 3) at
+  each stage; one bilinear tap of the composed map trades a slightly
+  different interpolation kernel for strictly less accumulated blur —
+  statistical parity (SURVEY.md §7 hard-parts list).
+* labels / scribbles: 4-tap **weighted class vote** — the bilinear weights
+  vote over the neighbours' classes and argmax wins.  This reproduces the
+  reference's one-hot-bilinear-then-argmax label scaling
+  (augmentations.py:216-227) and degrades gracefully to nearest-neighbour
+  when one tap dominates.
+
+All gathers are flat 1-D ``jnp.take`` over the raveled source so XLA lowers
+a single gather op per tap.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _flat_take(src, iy, ix):
+    """Gather ``src[iy, ix]`` via a flat 1-D take (single XLA gather)."""
+    h, w = src.shape
+    flat = jnp.take(src.reshape(-1), (iy * w + ix).reshape(-1))
+    return flat.reshape(iy.shape)
+
+
+def bilinear_sample(src, sy, sx, bound_h=None, bound_w=None):
+    """Bilinearly sample ``src`` (H, W) at real coordinates (sy, sx).
+
+    Coordinates are clamped to ``[0, bound-1]`` (the reference's
+    ``mode='nearest'`` / clip semantics).  ``bound_h/bound_w`` default to
+    the array size; pass the *live* region extent when the array is a
+    padded canvas.
+    """
+    h, w = src.shape
+    bh = h if bound_h is None else bound_h
+    bw = w if bound_w is None else bound_w
+    sy = jnp.clip(sy, 0.0, bh - 1.0)
+    sx = jnp.clip(sx, 0.0, bw - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, (bh - 1).astype(jnp.int32) if hasattr(bh, "astype") else bh - 1)
+    x1 = jnp.minimum(x0 + 1, (bw - 1).astype(jnp.int32) if hasattr(bw, "astype") else bw - 1)
+    fy = sy - y0
+    fx = sx - x0
+    v00 = _flat_take(src, y0, x0)
+    v01 = _flat_take(src, y0, x1)
+    v10 = _flat_take(src, y1, x0)
+    v11 = _flat_take(src, y1, x1)
+    return ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01
+            + fy * (1 - fx) * v10 + fy * fx * v11)
+
+
+def label_vote_sample(lab, sy, sx, num_values, bound_h=None, bound_w=None):
+    """Class-vote resample of an integer label map at real coordinates.
+
+    The four bilinear neighbours vote with their interpolation weights;
+    the argmax class wins (ties break toward the lower class index, like
+    numpy argmax in the reference's one-hot argmax).
+
+    Args:
+      lab: (H, W) integer-valued (may be float-typed) label map.
+      num_values: number of distinct label values (classes + ignore).
+    """
+    h, w = lab.shape
+    bh = h if bound_h is None else bound_h
+    bw = w if bound_w is None else bound_w
+    sy = jnp.clip(sy, 0.0, bh - 1.0)
+    sx = jnp.clip(sx, 0.0, bw - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    one = jnp.int32(1)
+    y1 = jnp.minimum(y0 + one, jnp.asarray(bh - 1, jnp.int32))
+    x1 = jnp.minimum(x0 + one, jnp.asarray(bw - 1, jnp.int32))
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+
+    labi = lab.astype(jnp.int32)
+    votes = 0.0
+    for iy, ix, wgt in (
+        (y0, x0, (1 - fy) * (1 - fx)),
+        (y0, x1, (1 - fy) * fx),
+        (y1, x0, fy * (1 - fx)),
+        (y1, x1, fy * fx),
+    ):
+        cls = _flat_take(labi, iy, ix)
+        votes = votes + wgt * jax.nn.one_hot(cls, num_values)
+    return jnp.argmax(votes, axis=-1)
+
+
+def nearest_sample(src, sy, sx, bound_h=None, bound_w=None):
+    """Nearest-neighbour resample (labels under pure rotation/elastic)."""
+    h, w = src.shape
+    bh = h if bound_h is None else bound_h
+    bw = w if bound_w is None else bound_w
+    iy = jnp.clip(jnp.round(sy), 0, bh - 1).astype(jnp.int32)
+    ix = jnp.clip(jnp.round(sx), 0, bw - 1).astype(jnp.int32)
+    return _flat_take(src, iy, ix)
+
+
+def separable_gaussian_blur(img, sigma, radius: int):
+    """Gaussian blur with a traced ``sigma`` and static kernel ``radius``.
+
+    The tap weights are computed from the traced sigma so no retrace occurs
+    per sample; taps beyond ~4*sigma get negligible weight.  Reflect padding
+    approximates scipy.ndimage.gaussian_filter's default mode
+    (augmentations.py:95 and the elastic field smoothing at :264-265).
+    """
+    offsets = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * jnp.square(offsets / jnp.maximum(sigma, 1e-6)))
+    kern = kern / jnp.sum(kern)
+
+    # Rows then columns; pad reflect, then VALID depthwise 1-D convs.
+    x = jnp.pad(img, ((radius, radius), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, :, :, None], kern[:, None, None, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    x = jnp.pad(x, ((0, 0), (radius, radius)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, :, :, None], kern[None, :, None, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    return x

@@ -1,0 +1,348 @@
+"""Experiment orchestration: run dirs, logging, TB, the epoch loop.
+
+The single parameterised driver replacing the reference's per-dataset
+copy-paste scripts (SURVEY.md §2 end-note): ``train_driver(config,
+data_root)`` runs either the pacing (Control/Experiment) or the Upperbound
+session on any dataset.
+
+Loop structure mirrors train_chaos.py:242-429 / upper_bound_chaos.py:146-243:
+per-epoch LR decay (inside the jitted step), train inner loop, TensorBoard
+scalars + figure panels, full-label validation Dice, per-epoch ``valdice``
+array, best/interval/final checkpoints — plus resume, config.json dumping
+(replacing the reference's script self-copy, train_chaos.py:445) and a
+slices/sec throughput meter (the BASELINE.json north-star metric).
+
+Throughput design: raw host batches go straight to device; augmentation,
+both forwards, all losses, backward, optimizer and the memory bank run in
+ONE jitted program per step; metrics are accumulated **on device** and only
+materialised once per epoch, so the step stream never blocks on host sync.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import subprocess
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pacingpseudo_tpu.aug.engine import eval_preprocess_batch, make_train_augment_fn
+from pacingpseudo_tpu.aug.presets import base_params_for, strong_params_for
+from pacingpseudo_tpu.config import ExperimentConfig
+from pacingpseudo_tpu.data import BatchLoader, SliceDataset, read_fold_split
+from pacingpseudo_tpu.evals.dice import dice_per_class_jax
+from pacingpseudo_tpu.models import PacingPseudoModel
+from pacingpseudo_tpu.parallel import data_mesh, replicate, shard_batch
+from pacingpseudo_tpu.train import checkpoint as ckpt_lib
+from pacingpseudo_tpu.train.optim import make_optimizer
+from pacingpseudo_tpu.train.state import create_train_state
+from pacingpseudo_tpu.train.step import (
+    make_pacing_eval_step,
+    make_pacing_train_step,
+    make_upper_bound_eval_step,
+    make_upper_bound_train_step,
+)
+from pacingpseudo_tpu.utils import AvgMeter
+
+
+def make_run_dir(config: ExperimentConfig) -> str:
+    """Reference naming: ``<root>/<modality>/<session>/<session>-<time>-fold<k>-<tag>``
+    (train_chaos.py:441-444; the modality level exists for chaos only)."""
+    parts = [config.root]
+    if config.dataset.startswith("chaos"):
+        parts.append(config.modality)
+    parts += [config.session,
+              f"{config.session}-{time.strftime('%H-%M-%S-%m%d')}-fold{config.fold}-{config.tag}"]
+    run_dir = os.path.join(*parts)
+    os.makedirs(run_dir, exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "ckps"), exist_ok=True)
+    return run_dir
+
+
+def setup_logging(run_dir: str):
+    logging.basicConfig(
+        filename=os.path.join(run_dir, "log.txt"), level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d] %(message)s", datefmt="%H:%M:%S",
+        force=True)
+    import sys
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+    # Orbax/absl emit a line per checkpoint shard at INFO — keep log.txt
+    # readable like the reference's.
+    for noisy in ("orbax", "absl", "jax"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
+
+def dump_config(run_dir: str, config: ExperimentConfig):
+    """Reproducibility record: full config + git revision (replaces the
+    reference's self-copy of the driver script)."""
+    payload = dataclasses.asdict(config)
+    try:
+        payload["git_rev"] = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=os.path.dirname(__file__),
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        payload["git_rev"] = None
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+
+
+def _tb_writer(run_dir: str):
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(log_dir=os.path.join(run_dir, "tb_summary"))
+    except Exception:
+        logging.info("tensorboardX unavailable; TB logging disabled")
+        return None
+
+
+def _tb_figures(tb, batch, outputs_np, epoch):
+    """Figure panels (train_chaos.py:321-360): image / scribble / predictions."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    def _fig(arr, cmap=None):
+        fig = plt.figure()
+        plt.imshow(arr, cmap)
+        return fig
+    tb.add_figure("predictions/image", _fig(batch["image"][0, ..., 0], "gray"), epoch)
+    tb.add_figure("predictions/scribble",
+                  _fig(batch["scribble"][0].argmax(-1)), epoch)
+    if "logits" in outputs_np:
+        tb.add_figure("predictions/prediction_decoder_weak",
+                      _fig(outputs_np["logits"][0].argmax(-1)), epoch)
+        prob_max = jax.nn.softmax(outputs_np["logits"], axis=-1).max(-1)
+        tb.add_histogram("histogram/prob_weak_max", np.asarray(prob_max), epoch)
+    plt.close("all")
+
+
+def _build_model(config: ExperimentConfig, siamese: bool) -> PacingPseudoModel:
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    return PacingPseudoModel(
+        input_ch=config.input_ch,
+        init_ch=config.init_ch,
+        max_ch=config.max_ch,
+        num_classes=config.num_classes,
+        output_stride=config.output_stride,
+        is_stride_conv=config.is_stride_conv,
+        is_trans_conv=config.is_trans_conv,
+        do_aux_path=config.do_aux_path and siamese,
+        feat_stage=tuple(config.feat_stage),
+        hid_ch=config.hid_ch,
+        aux_drop_prob=config.aux_drop_prob,
+        fuse_streams=config.fuse_streams,
+        dtype=dtype,
+    )
+
+
+def _pad_batch(raw: Dict[str, np.ndarray], to: int):
+    """Pad a partial batch to the static batch size (repeat last sample)."""
+    n = raw["image"].shape[0]
+    if n == to:
+        return raw, n
+    reps = to - n
+    out = {}
+    for k, v in raw.items():
+        if isinstance(v, list):
+            out[k] = v + [v[-1]] * reps
+        else:
+            out[k] = np.concatenate([v, np.repeat(v[-1:], reps, axis=0)])
+    return out, n
+
+
+def _device_metrics_accumulate(acc, metrics):
+    if acc is None:
+        return {k: v for k, v in metrics.items()}
+    return {k: acc[k] + metrics[k] for k in metrics}
+
+
+class ValState:
+    """Host-side per-epoch validation aggregation (AvgMeters skipping NaN,
+    train_chaos.py:372-391)."""
+
+    def __init__(self, num_classes):
+        self.loss = AvgMeter()
+        self.dsc = [AvgMeter() for _ in range(num_classes)]
+
+    def update(self, loss, dice_nc, n_real, n_batch):
+        self.loss.update(float(loss), n=n_batch)
+        d = np.asarray(dice_nc)[:n_real]
+        for row in d:
+            for cls, val in enumerate(row):
+                if not np.isnan(val):
+                    self.dsc[cls].update(float(val))
+
+    def summary(self):
+        per_class = [m.avg for m in self.dsc]
+        avg_all = float(np.mean(per_class[1:])) if len(per_class) > 1 else per_class[0]
+        return per_class, avg_all
+
+
+def train_driver(config: ExperimentConfig, data_root: str,
+                 run_dir: Optional[str] = None,
+                 max_steps_per_epoch: Optional[int] = None) -> str:
+    """Run a full training session; returns the run directory."""
+    config.validate()
+    upper_bound = config.session == "Upperbound"
+    siamese = not upper_bound
+    do_strong = config.do_decoder_consistency and siamese
+
+    if run_dir is None:
+        run_dir = make_run_dir(config)
+    setup_logging(run_dir)
+    dump_config(run_dir, config)
+    logging.info("config: %s", json.dumps(dataclasses.asdict(config), default=str))
+
+    # ---- data
+    train_files, val_files = read_fold_split(
+        data_root, config.dataset, config.fold,
+        config.modality if config.dataset.startswith("chaos") else None)
+    train_ds = SliceDataset(train_files, config.num_classes, config.ignored_index)
+    val_ds = SliceDataset(val_files, config.num_classes, config.ignored_index,
+                          canvas_size=train_ds.canvas_size)
+    train_loader = BatchLoader(train_ds, config.batch_size, shuffle=True,
+                               drop_last=True, seed=config.seed)
+    val_loader = BatchLoader(val_ds, config.batch_size, shuffle=False,
+                             drop_last=False)
+    steps_per_epoch = len(train_loader)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    logging.info("train slices=%d val slices=%d steps/epoch=%d canvas=%d",
+                 len(train_ds), len(val_ds), steps_per_epoch, train_ds.canvas_size)
+
+    # ---- mesh / model / state
+    mesh = data_mesh(config.num_devices)
+    n_dev = int(np.prod(mesh.devices.shape))
+    logging.info("devices: %s (data mesh of %d)", jax.devices()[:n_dev], n_dev)
+
+    model = _build_model(config, siamese)
+    tx = make_optimizer(config, steps_per_epoch)
+
+    base_params = base_params_for(config.dataset)
+    strong_params = strong_params_for(config.augmentations, config.strength)
+    augment_fn = make_train_augment_fn(base_params, strong_params, do_strong)
+
+    # template batch (post-augmentation shapes) for init
+    ch, cw = base_params.crop_size
+    tmpl = {"image": jnp.zeros((config.batch_size, ch, cw, 1), jnp.float32)}
+    rng = jax.random.PRNGKey(config.seed)
+    state = create_train_state(rng, model, tx, tmpl,
+                               with_memory=config.do_memory and siamese,
+                               num_classes=config.num_classes,
+                               hid_ch=config.hid_ch, siamese=siamese)
+
+    start_epoch = 0
+    if config.resume:
+        latest = ckpt_lib.latest_checkpoint(run_dir)
+        if latest:
+            state = ckpt_lib.restore_checkpoint(latest, state)
+            start_epoch = int(state.step) // steps_per_epoch
+            logging.info("resumed from %s at epoch %d", latest, start_epoch)
+    state = replicate(state, mesh)
+
+    # ---- jitted steps (normal + frozen-BN quirk variant)
+    if upper_bound:
+        make_train = make_upper_bound_train_step
+        eval_step = make_upper_bound_eval_step(config, model)
+    else:
+        make_train = make_pacing_train_step
+        eval_step = make_pacing_eval_step(config, model)
+    train_step = make_train(config, model, tx, steps_per_epoch,
+                            module_train=True, augment_fn=augment_fn)
+    train_step_frozen = None
+    if config.ref_quirk_bn_eval_after_first_epoch:
+        train_step_frozen = make_train(config, model, tx, steps_per_epoch,
+                                       module_train=False, augment_fn=augment_fn)
+
+    tb = _tb_writer(run_dir)
+    valdice = np.zeros(config.epoch)
+    best_avg, best_epoch = 0.0, 0
+    data_rng = jax.random.PRNGKey(config.seed + 1)
+
+    for epoch in range(start_epoch, config.epoch):
+        tic = time.time()
+        step_fn = train_step
+        if train_step_frozen is not None and epoch >= 1:
+            step_fn = train_step_frozen
+
+        acc = None
+        n_steps = 0
+        for raw in train_loader:
+            if n_steps >= steps_per_epoch:
+                break
+            raw.pop("uid", None)
+            batch = shard_batch(raw, mesh)
+            state, metrics = step_fn(state, batch, data_rng)
+            acc = _device_metrics_accumulate(acc, metrics)
+            n_steps += 1
+        toc = time.time()
+
+        means = {k: float(v) / n_steps for k, v in acc.items()}
+        slices_per_sec = n_steps * config.batch_size / max(toc - tic, 1e-9)
+        logging.info(
+            "epoch: %03d, lr: %.6f, %s, %.2f s/epoch, %.1f slices/s",
+            epoch, means.get("lr", 0.0) * n_steps / n_steps if "lr" in means else 0.0,
+            ", ".join(f"{k}: {v:.6f}" for k, v in means.items() if k != "lr"),
+            toc - tic, slices_per_sec)
+        if tb:
+            for k, v in means.items():
+                tag = "lr/current_lr" if k == "lr" else f"losses/{k}_train"
+                tb.add_scalar(tag, v, epoch)
+            tb.add_scalar("perf/slices_per_sec", slices_per_sec, epoch)
+
+        # ---- validation (full labels, masked to the live region)
+        vs = ValState(config.num_classes)
+        for raw in val_loader:
+            raw.pop("uid", None)
+            raw, n_real = _pad_batch(raw, config.batch_size)
+            proc = eval_preprocess_batch(
+                {k: jnp.asarray(v) for k, v in raw.items()}, config.num_classes)
+            proc = shard_batch({k: np.asarray(v) for k, v in proc.items()}, mesh)
+            region = proc.pop("region_mask")
+            if upper_bound:
+                loss_ce, _, _ = eval_step(state, proc)
+                loss_val = loss_ce
+            else:
+                loss_val, _ = eval_step(state, proc)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            # dice with region masking (canvas padding excluded)
+            outputs = model.apply(variables, proc["image"], None, train=False)
+            probs = jax.nn.softmax(outputs["segmentation/logits"], axis=-1)
+            dice = dice_per_class_jax(probs, proc["label"], region_mask=region)
+            vs.update(loss_val, dice, n_real, n_real)
+        per_class, avg_all = vs.summary()
+        valdice[epoch] = avg_all
+        spec_names = list(config.spec.classnames)
+        logging.info("val: %03d, loss: %.6f, [%s, All: %.4f]",
+                     epoch, vs.loss.avg,
+                     ", ".join(f"{n}: {d:.4f}" for n, d in zip(spec_names, per_class)),
+                     avg_all)
+        if tb:
+            tb.add_scalar("losses/loss_val", vs.loss.avg, epoch)
+            for n_, d in zip(spec_names, per_class):
+                tb.add_scalar(f"DSC/{n_}", d, epoch)
+            tb.add_scalar("DSC/All", avg_all, epoch)
+            tb.add_scalar("DSC/Best", max(best_avg, avg_all), epoch)
+
+        # ---- checkpoints (fixed interval precedence + final epoch,
+        # reference: train_chaos.py:405-413)
+        host_state = jax.tree.map(np.asarray, jax.device_get(state))
+        if (epoch + 1) % config.ckp_interval == 0 or (epoch + 1) == config.epoch:
+            ckpt_lib.save_checkpoint(
+                os.path.join(run_dir, "ckps", f"ckp_{epoch}"), host_state)
+        if avg_all > best_avg:
+            best_epoch, best_avg = epoch, avg_all
+            ckpt_lib.save_checkpoint(os.path.join(run_dir, "best_ckp"), host_state)
+
+    logging.info("The best at epoch: %d, All: %.4f", best_epoch, best_avg)
+    np.savez(os.path.join(run_dir, "valdice"), valdice=valdice)
+    if tb:
+        tb.close()
+    return run_dir

@@ -1,0 +1,270 @@
+"""Jitted train / eval steps.
+
+One XLA program per step fuses: (optional on-device augmentation —
+see train/loop.py), the siamese forward, every enabled loss, the backward
+pass, the optimizer update and the memory-bank EMA.  This replaces the
+reference's driver-side loss assembly + ``backward()`` + ``step()``
+(reference: train_chaos.py:263-315, consistency_reglur_memory.py:24-102,
+upper_bound_chaos.py:152-171).
+
+Static configuration (which losses are on, loss variants, fused streams,
+BN quirk mode) is baked into the jitted function; traced inputs are the
+state, the batch and the PRNG key.  Loss weights that ramp with the epoch
+are computed inside the step from ``state.step`` so no retrace happens per
+epoch.
+
+Metric values logged are the **weighted** per-loss values, matching what
+the reference meters record (train_chaos.py:274-310 updates the meters
+after multiplying the ramp weight).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from pacingpseudo_tpu.losses import (
+    cross_entropy_loss,
+    dice_loss_fn,
+    entropy_minimization_loss,
+    kl_loss,
+    l1_loss,
+    l2_loss,
+    partial_cross_entropy_loss,
+    soft_label_cross_entropy_loss,
+)
+from pacingpseudo_tpu.evals.dice import dice_per_class_jax
+from pacingpseudo_tpu.models.aux_path import memory_update
+from pacingpseudo_tpu.models.pacing import PacingPseudoModel
+from pacingpseudo_tpu.train.schedules import gaussian_ramp_up, make_lr_schedule
+from pacingpseudo_tpu.train.state import TrainState
+
+
+def _pacing_losses(config, model, params, batch_stats, bank, batch, epoch,
+                   dropout_rng, module_train: bool):
+    """Forward + loss assembly for one pacing step.  Pure."""
+    image = batch["image"]
+    scribble = batch["scribble"]                       # (N, H, W, C+1) one-hot
+    valid_mask = batch.get("valid_mask")               # (N, H, W, 1) or None
+    image_strong = batch.get("image_strong") if config.do_decoder_consistency else None
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    outputs, mutated = model.apply(
+        variables, image, image_strong, train=True, module_train=module_train,
+        mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+    new_batch_stats = mutated.get("batch_stats", batch_stats) if module_train else batch_stats
+
+    logits_weak = outputs["segmentation/logits"]
+    scb_target = jnp.argmax(scribble, axis=-1)
+    # Reference: consistency_reglur_memory.py:29-36
+    loss_pce = partial_cross_entropy_loss(logits_weak, scb_target,
+                                          config.ignored_index)
+    total = loss_pce
+    metrics = {"loss_pce": loss_pce}
+
+    if config.do_loss_ent:
+        # Reference: consistency_reglur_memory.py:39-44 + train_chaos.py:277-283
+        loss_ent = entropy_minimization_loss(logits_weak, valid_mask)
+        w = (gaussian_ramp_up(epoch, config.loss_ent_weight, scale=config.ramp_up_scale)
+             if config.ramp_up_loss_ent else config.loss_ent_weight)
+        loss_ent = loss_ent * w
+        total = total + loss_ent
+        metrics["loss_ent"] = loss_ent
+
+    if config.do_decoder_consistency:
+        # Reference: consistency_reglur_memory.py:47-70 + train_chaos.py:285-291
+        logits_strong = outputs["segmentation/logits_strong"]
+        prob_weak = jax.nn.softmax(logits_weak, axis=-1)
+        if config.detach_weak_cr:
+            prob_weak = jax.lax.stop_gradient(prob_weak)
+        if config.loss_cr_variants == "ce_loss":
+            loss_cr = soft_label_cross_entropy_loss(logits_strong, prob_weak, valid_mask)
+        elif config.loss_cr_variants == "l1_loss":
+            prob_strong = jax.nn.softmax(logits_strong, axis=-1)
+            loss_cr = l1_loss(prob_strong, prob_weak, valid_mask)
+        elif config.loss_cr_variants == "l2_loss":
+            prob_strong = jax.nn.softmax(logits_strong, axis=-1)
+            loss_cr = l2_loss(prob_strong, prob_weak, valid_mask)
+        elif config.loss_cr_variants == "kl_loss":
+            # Note: the reference feeds raw weak logits here — detach_weak_cr
+            # does NOT apply to the kl variant (consistency_reglur_memory.py:63).
+            loss_cr = kl_loss(logits_strong, logits_weak, valid_mask)
+        else:
+            raise ValueError("The loss is not implemented.")
+        w = (gaussian_ramp_up(epoch, config.loss_cr_weight, scale=config.ramp_up_scale)
+             if config.ramp_up_loss_cr else config.loss_cr_weight)
+        loss_cr = loss_cr * w
+        total = total + loss_cr
+        metrics["loss_cr"] = loss_cr
+
+    new_bank = bank
+    if config.do_aux_path:
+        # Reference: consistency_reglur_memory.py:73-90 + train_chaos.py:294-301
+        loss_aux = partial_cross_entropy_loss(
+            outputs["aux/logits"], scb_target, config.ignored_index)
+        loss_aux = loss_aux * config.loss_aux_weight
+        total = total + loss_aux
+        metrics["loss_aux_cls"] = loss_aux
+
+        if config.do_memory:
+            # Reference: aux_path_memory.py:59-65 — the bank is updated
+            # first, then the shared classifier scores the fresh prototypes.
+            new_bank = memory_update(
+                bank, outputs["aux/features"], scribble,
+                step=epoch, max_step=config.epoch,
+                momentum=config.update_momentum,
+                ensemble_mode=config.ensemble_mode,
+                update_mode=config.memory_update_mode)
+            logits_memory = model.apply(
+                {"params": params}, new_bank,
+                method=PacingPseudoModel.classify_bank)
+            loss_memory = cross_entropy_loss(
+                logits_memory, jnp.arange(config.num_classes))
+            loss_memory = loss_memory * config.loss_memory_weight
+            total = total + loss_memory
+            metrics["loss_memory"] = loss_memory
+
+    metrics["loss_total"] = total
+    return total, (metrics, new_batch_stats, new_bank)
+
+
+def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
+                           module_train: bool = True,
+                           augment_fn: Callable | None = None,
+                           donate: bool = True):
+    """Build the jitted pacing train step.
+
+    Args:
+      module_train: False compiles the frozen-BN variant used by
+        ``ref_quirk_bn_eval_after_first_epoch`` for epochs >= 1.
+      augment_fn: optional on-device augmentation ``(batch, rng) -> batch``
+        fused into the same XLA program (see aug/).
+    """
+    lr_by_epoch = make_lr_schedule(config.lr_decay, config.epoch, config.lr)
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng):
+        epoch = (state.step // steps_per_epoch).astype(jnp.float32)
+        aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        if augment_fn is not None:
+            batch = augment_fn(batch, aug_rng)
+
+        grad_fn = jax.value_and_grad(
+            lambda p: _pacing_losses(config, model, p, state.batch_stats,
+                                     state.memory_bank, batch, epoch,
+                                     dropout_rng, module_train),
+            has_aux=True)
+        (_, (metrics, new_batch_stats, new_bank)), grads = grad_fn(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        metrics["lr"] = lr_by_epoch(epoch)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            memory_bank=new_bank,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_pacing_eval_step(config, model):
+    """Validation step: weak forward (running BN stats), PCE + per-class Dice.
+
+    Mirrors the reference validation loop (train_chaos.py:369-391): loss_pce
+    on scribbles, Dice against **full** labels; Dice stays on device.
+    Returns ``(loss_pce, dice (N, C) with NaNs)``.
+    """
+
+    def eval_step(state: TrainState, batch: Dict[str, Any]):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(variables, batch["image"], None, train=False)
+        logits = outputs["segmentation/logits"]
+        scb_target = jnp.argmax(batch["scribble"], axis=-1)
+        loss_pce = partial_cross_entropy_loss(logits, scb_target, config.ignored_index)
+        probs = jax.nn.softmax(logits, axis=-1)
+        dice = dice_per_class_jax(probs, batch["label"])
+        return loss_pce, dice
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Upper-bound (fully-supervised) steps — reference: upper_bound_chaos.py
+# ---------------------------------------------------------------------------
+
+def _upper_bound_losses(config, model, params, batch_stats, batch,
+                        dropout_rng, module_train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    outputs, mutated = model.apply(
+        variables, batch["image"], None, train=True, module_train=module_train,
+        mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+    new_batch_stats = mutated.get("batch_stats", batch_stats) if module_train else batch_stats
+    logits = outputs["segmentation/logits"]
+
+    # Reference: upper_bound_chaos.py:157-167.  ``label`` is one-hot over
+    # num_classes; crop-padded pixels are all-zero rows whose argmax is 0,
+    # so padding trains as background — preserved.
+    target = jnp.argmax(batch["label"], axis=-1)
+    loss_ce = partial_cross_entropy_loss(logits, target, config.ignored_index)
+    total = loss_ce
+    metrics = {"loss_ce": loss_ce}
+    if config.loss_dice:
+        loss_dice = dice_loss_fn(logits, batch["label"])
+        total = total + loss_dice
+        metrics["loss_dice"] = loss_dice
+    metrics["loss_total"] = total
+    return total, (metrics, new_batch_stats)
+
+
+def make_upper_bound_train_step(config, model, tx, steps_per_epoch: int,
+                                module_train: bool = True,
+                                augment_fn: Callable | None = None,
+                                donate: bool = True):
+    lr_by_epoch = make_lr_schedule(config.lr_decay, config.epoch, config.lr)
+
+    def train_step(state: TrainState, batch, rng):
+        epoch = (state.step // steps_per_epoch).astype(jnp.float32)
+        aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        if augment_fn is not None:
+            batch = augment_fn(batch, aug_rng)
+
+        grad_fn = jax.value_and_grad(
+            lambda p: _upper_bound_losses(config, model, p, state.batch_stats,
+                                          batch, dropout_rng, module_train),
+            has_aux=True)
+        (_, (metrics, new_batch_stats)), grads = grad_fn(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics["lr"] = lr_by_epoch(epoch)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_upper_bound_eval_step(config, model):
+    """Validation: CE + Dice-loss + per-class Dice (upper_bound_chaos.py:186-209)."""
+
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(variables, batch["image"], None, train=False)
+        logits = outputs["segmentation/logits"]
+        target = jnp.argmax(batch["label"], axis=-1)
+        loss_ce = partial_cross_entropy_loss(logits, target, config.ignored_index)
+        loss_dice = dice_loss_fn(logits, batch["label"])
+        probs = jax.nn.softmax(logits, axis=-1)
+        dice = dice_per_class_jax(probs, batch["label"])
+        return loss_ce, loss_dice, dice
+
+    return jax.jit(eval_step)

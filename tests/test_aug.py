@@ -1,0 +1,267 @@
+"""On-device augmentation engine tests (reference: datasets/augmentations.py).
+
+Strategy (SURVEY.md §4): exact fixed-seed checks for the exactly-portable
+transforms (flip, crop embedding, normalisation, identity), cross-checks
+against cv2/scipy for rotation and scaling, and property tests
+(determinism, shapes, ignore padding, valid-mask invariants) for the rest.
+"""
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from pacingpseudo_tpu.aug import (
+    BaseAugParams,
+    StrongAugParams,
+    augment_batch,
+    eval_preprocess_batch,
+)
+from pacingpseudo_tpu.aug.engine import base_augment_sample, strong_augment_sample
+from pacingpseudo_tpu.aug.presets import base_params_for, strong_params_for
+
+S = 48          # source canvas
+CH = CW = 32    # crop
+C = 3
+IGN = 3
+
+
+def _params(**kw):
+    base = dict(crop_size=(CH, CW), num_classes=C, ignored_index=IGN,
+                p_scale=0.0, p_elastic=0.0, p_rotate=0.0,
+                p_mirror_y=0.0, p_mirror_x=0.0, p_noise=0.0,
+                elastic_blur_radius=8)
+    base.update(kw)
+    return BaseAugParams(**base)
+
+
+def _sample(rng, h=CH, w=CW):
+    img = np.zeros((S, S), np.float32)
+    lab = np.full((S, S), IGN, np.float32)
+    scb = np.full((S, S), IGN, np.float32)
+    img[:h, :w] = rng.randn(h, w)
+    lab[:h, :w] = rng.randint(0, C, (h, w))
+    scb[:h, :w] = rng.randint(0, C + 1, (h, w))
+    size = np.array([h, w], np.int32)
+    return (jnp.asarray(img), jnp.asarray(lab), jnp.asarray(scb), jnp.asarray(size))
+
+
+def _norm(x):
+    return (x - x.mean()) / (x.std() + 1e-8)
+
+
+def test_identity_when_all_probs_zero(rng):
+    img, lab, scb, size = _sample(rng)
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), _params())
+    # double MeanStdNorm == single (normalising a normalised image)
+    expect = _norm(np.asarray(img)[:CH, :CW])
+    assert np.allclose(np.asarray(out["image"]), expect, atol=1e-4)
+    assert np.array_equal(np.asarray(out["label"]), np.asarray(lab)[:CH, :CW])
+    assert np.array_equal(np.asarray(out["scribble"]), np.asarray(scb)[:CH, :CW])
+    assert np.all(np.asarray(out["valid_mask"]) == 1.0)
+
+
+def test_determinism(rng):
+    img, lab, scb, size = _sample(rng)
+    p = _params(p_scale=0.5, p_elastic=0.5, p_rotate=0.5, p_mirror_y=0.5,
+                p_mirror_x=0.5, p_noise=0.5)
+    k = jax.random.PRNGKey(3)
+    a = base_augment_sample(img, lab, scb, size, k, p)
+    b = base_augment_sample(img, lab, scb, size, k, p)
+    for key in a:
+        assert np.array_equal(np.asarray(a[key]), np.asarray(b[key])), key
+
+
+def test_small_source_embeds_with_ignore_padding(rng):
+    h = w = 20  # smaller than crop -> random embed, padding around
+    img, lab, scb, size = _sample(rng, h, w)
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(1), _params())
+    vm = np.asarray(out["valid_mask"])
+    assert vm.sum() == h * w
+    outside = vm == 0
+    assert np.all(np.asarray(out["label"])[outside] == IGN)
+    assert np.all(np.asarray(out["scribble"])[outside] == IGN)
+    assert np.allclose(np.asarray(out["image"])[outside], 0.0)
+
+
+def test_large_source_crops_window(rng):
+    h = w = 44  # larger than crop -> random crop, fully valid
+    img, lab, scb, size = _sample(rng, h, w)
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(2), _params())
+    assert np.all(np.asarray(out["valid_mask"]) == 1.0)
+    # the cropped labels must be a contiguous window of the source
+    lab_np = np.asarray(lab)
+    got = np.asarray(out["label"])
+    found = any(
+        np.array_equal(got, lab_np[dy:dy + CH, dx:dx + CW])
+        for dy in range(h - CH + 1) for dx in range(w - CW + 1))
+    assert found
+
+
+def test_mirror_both_axes(rng):
+    img, lab, scb, size = _sample(rng)
+    p = _params(p_mirror_y=1.0, p_mirror_x=1.0)
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), p)
+    expect = _norm(np.asarray(img)[:CH, :CW])[::-1, ::-1]
+    assert np.allclose(np.asarray(out["image"]), expect, atol=1e-4)
+    assert np.array_equal(np.asarray(out["label"]),
+                          np.asarray(lab)[:CH, :CW][::-1, ::-1])
+
+
+def test_rotation_matches_cv2(rng):
+    """Pure rotation vs cv2.warpAffine (the reference's implementation,
+    augmentations.py:299-317), bilinear vs bilinear, away from borders."""
+    img, lab, scb, size = _sample(rng)
+    deg = 23.0
+    p = _params(p_rotate=1.0, degree_range=(deg, deg))
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), p)
+
+    src = _norm(np.asarray(img)[:CH, :CW])
+    m = cv2.getRotationMatrix2D((CW / 2, CH / 2), deg, 1.0)
+    ref = cv2.warpAffine(src, m, (CW, CH), flags=cv2.INTER_LINEAR, borderValue=0.0)
+    got = np.asarray(out["image"])
+    # compare the central region (borders differ: cv2 blends border value,
+    # we hard-clip), allowing interpolation tolerance
+    sl = slice(8, -8)
+    # re-normalise both (our pipeline applies MeanStdNorm after rotation)
+    assert np.allclose(_norm(got[sl, sl]), _norm(ref[sl, sl]), atol=0.15)
+    # labels: nearest-vs-vote differ only at class boundaries
+    lab_ref = cv2.warpAffine(np.asarray(lab)[:CH, :CW], m, (CW, CH),
+                             flags=cv2.INTER_NEAREST, borderValue=IGN)
+    mismatch = np.mean(np.asarray(out["label"])[sl, sl] != lab_ref[sl, sl])
+    assert mismatch < 0.2
+
+
+def test_scaling_matches_scipy_zoom(rng):
+    """Pure down-scaling vs scipy map_coordinates with the same half-pixel
+    mapping (the skimage.resize convention, augmentations.py:214)."""
+    img, lab, scb, size = _sample(rng)
+    sc = 0.75
+    p = _params(p_scale=1.0, scale_range=(sc, sc))
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(5), p)
+
+    src = _norm(np.asarray(img)[:CH, :CW])
+    new_h = new_w = round(sc * CH)
+    yy, xx = np.mgrid[0:new_h, 0:new_w].astype(np.float64)
+    sy = np.clip((yy + 0.5) * CH / new_h - 0.5, 0, CH - 1)
+    sx = np.clip((xx + 0.5) * CW / new_w - 0.5, 0, CW - 1)
+    scaled = ndimage.map_coordinates(src, [sy, sx], order=1)
+    # our output embeds `scaled` somewhere in the crop canvas
+    got = np.asarray(out["image"])
+    vm = np.asarray(out["valid_mask"]).astype(bool)
+    assert vm.sum() == new_h * new_w
+    ys, xs = np.where(vm)
+    window = got[ys.min():ys.min() + new_h, xs.min():xs.min() + new_w]
+    assert np.allclose(_norm(window), _norm(scaled), atol=1e-3)
+
+
+def test_elastic_zero_alpha_is_identity(rng):
+    img, lab, scb, size = _sample(rng)
+    p = _params(p_elastic=1.0, alpha_range=(0.0, 0.0))
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), p)
+    expect = _norm(np.asarray(img)[:CH, :CW])
+    assert np.allclose(np.asarray(out["image"]), expect, atol=1e-4)
+
+
+def test_elastic_displaces_but_preserves_classes(rng):
+    img, lab, scb, size = _sample(rng)
+    p = _params(p_elastic=1.0, alpha_range=(150.0, 150.0))
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), p)
+    ident = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), _params())
+    assert not np.allclose(np.asarray(out["image"]), np.asarray(ident["image"]), atol=1e-3)
+    assert set(np.unique(np.asarray(out["label"]))) <= set(range(C + 1))
+
+
+def test_batch_augment_shapes_and_strong(rng):
+    n = 4
+    raw = {
+        "image": jnp.asarray(rng.randn(n, S, S), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, C, (n, S, S)), jnp.float32),
+        "scribble": jnp.asarray(rng.randint(0, C + 1, (n, S, S)), jnp.float32),
+        "size": jnp.asarray(np.tile([CH, CW], (n, 1)), jnp.int32),
+    }
+    p = _params(p_scale=0.2, p_rotate=0.2, p_mirror_y=0.5)
+    sp = StrongAugParams.color(1.0)
+    batch = augment_batch(raw, jax.random.PRNGKey(0), p, sp, True)
+    assert batch["image"].shape == (n, CH, CW, 1)
+    assert batch["image_strong"].shape == (n, CH, CW, 1)
+    assert batch["label"].shape == (n, CH, CW, C)
+    assert batch["scribble"].shape == (n, CH, CW, C + 1)
+    assert batch["valid_mask"].shape == (n, CH, CW, 1)
+    # strong stream differs from weak (p=0.8 each of three color ops across
+    # 4 samples: astronomically unlikely to all no-op)
+    assert not np.allclose(np.asarray(batch["image"]),
+                           np.asarray(batch["image_strong"]))
+    # per-sample keys differ: two samples shouldn't get identical augs
+    assert not np.array_equal(np.asarray(batch["image"][0]),
+                              np.asarray(batch["image"][1]))
+
+
+def test_strong_gamma_retain_stats(rng):
+    img = jnp.asarray(_norm(rng.randn(CH, CW).astype(np.float32)))
+    p = StrongAugParams(p_brightness=0.0, p_contrast=0.0, p_gamma=1.0,
+                        gamma_range=(0.5, 0.5), gamma_retain_stats=True)
+    # The biased draw (augmentations.py:153-156) picks gamma in U(lo, 1) or
+    # U(max(1, lo), hi) — retain_stats must restore mean/std either way, and
+    # across several keys at least one draw must land a non-trivial gamma.
+    any_changed = False
+    for seed in range(6):
+        out = strong_augment_sample(img, img, jax.random.PRNGKey(seed), p)
+        assert abs(float(jnp.mean(out)) - float(jnp.mean(img))) < 1e-3
+        assert abs(float(jnp.std(out)) - float(jnp.std(img))) < 1e-3
+        any_changed |= not np.allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+    assert any_changed
+
+
+def test_strong_identity_when_all_off(rng):
+    img = jnp.asarray(rng.randn(CH, CW).astype(np.float32))
+    p = StrongAugParams(p_brightness=0.0, p_contrast=0.0, p_gamma=0.0)
+    out = strong_augment_sample(img, img, jax.random.PRNGKey(0), p)
+    assert np.allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_strong_brightness_shift(rng):
+    img = jnp.asarray(rng.randn(CH, CW).astype(np.float32))
+    p = StrongAugParams(p_brightness=1.0, brightness_range=(0.3, 0.3),
+                        p_contrast=0.0, p_gamma=0.0)
+    out = strong_augment_sample(img, img, jax.random.PRNGKey(0), p)
+    assert np.allclose(np.asarray(out), np.asarray(img) + 0.3, atol=1e-5)
+
+
+def test_strong_mixup_blends_partner(rng):
+    img = jnp.zeros((CH, CW), jnp.float32)
+    partner = jnp.ones((CH, CW), jnp.float32)
+    p = StrongAugParams(p_brightness=0.0, p_contrast=0.0, p_gamma=0.0,
+                        p_mixup=1.0, mixup_lam_range=(0.8, 0.8))
+    out = strong_augment_sample(img, partner, jax.random.PRNGKey(0), p)
+    assert np.allclose(np.asarray(out), 0.2, atol=1e-5)
+
+
+def test_eval_preprocess(rng):
+    n, h, w = 2, 24, 20
+    raw = {
+        "image": jnp.asarray(np.pad(rng.randn(n, h, w).astype(np.float32),
+                                    ((0, 0), (0, S - h), (0, S - w))), jnp.float32),
+        "label": jnp.full((n, S, S), IGN, jnp.float32).at[:, :h, :w].set(0.0),
+        "scribble": jnp.full((n, S, S), IGN, jnp.float32),
+        "size": jnp.asarray(np.tile([h, w], (n, 1)), jnp.int32),
+    }
+    out = eval_preprocess_batch(raw, C)
+    img = np.asarray(out["image"])[0, :h, :w, 0]
+    assert abs(img.mean()) < 1e-4 and abs(img.std() - 1) < 1e-3
+    # padding stays zero; label one-hot zeroed outside region
+    assert np.allclose(np.asarray(out["image"])[0, h:, :, 0], 0)
+    assert np.allclose(np.asarray(out["label"])[0, h:, :, :], 0)
+
+
+def test_presets_cover_all_datasets_and_variants():
+    for ds in ["chaos", "acdc", "lvsc"]:
+        bp = base_params_for(ds)
+        assert bp.crop_size in ((256, 256), (224, 224))
+    for preset in ["TransformsColor", "TransformsColorBlur",
+                   "TransformsColorMixup", "TransformsColorLow"]:
+        sp = strong_params_for(preset, strength=0.5)
+        assert sp.brightness_range == (-0.4, 0.4)
+    with pytest.raises(ValueError):
+        strong_params_for("Bogus")

@@ -1,0 +1,129 @@
+"""Data pipeline + scribble tooling tests."""
+import os
+
+import numpy as np
+import pytest
+
+from pacingpseudo_tpu.data import (
+    BatchLoader,
+    SliceDataset,
+    load_npz_slice,
+    read_fold_split,
+    read_test_split,
+    synthetic,
+)
+from pacingpseudo_tpu.tools import (
+    delete_endpoints,
+    detect_endpoints,
+    generate_scribble,
+    skeletonize,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    synthetic.write_synthetic_dataset(
+        root, "chaos", num_slices=12, size=(64, 60), num_classes=3,
+        ignored_index=3, modality="t1", seed=0)
+    return root
+
+
+def test_skeletonize_thin_line_preserved():
+    m = np.zeros((20, 20), bool)
+    m[10, 2:18] = True
+    sk = skeletonize(m)
+    assert sk.sum() >= 14  # a 1-px line is its own skeleton (ends may trim)
+    assert np.array_equal(np.where(sk.any(axis=1))[0], [10])
+
+
+def test_skeletonize_disk_reduces_to_medial_axis():
+    yy, xx = np.mgrid[0:31, 0:31]
+    disk = (yy - 15) ** 2 + (xx - 15) ** 2 <= 100
+    sk = skeletonize(disk)
+    assert 0 < sk.sum() < 0.15 * disk.sum()
+    assert np.all(disk[sk])  # skeleton stays inside the object
+
+
+def test_generate_scribble_classes_and_ignore():
+    lab = np.zeros((40, 40), np.int32)
+    lab[10:25, 8:20] = 1
+    lab[28:36, 25:36] = 2
+    scb = generate_scribble(lab, num_classes=3, ignored_index=3)
+    vals = set(np.unique(scb))
+    assert vals <= {0, 1, 2, 3}
+    assert 1 in vals and 2 in vals and 3 in vals
+    # scribbles must lie inside their class region
+    assert np.all(lab[scb == 1] == 1)
+    assert np.all(lab[scb == 2] == 2)
+    # scribble is sparse
+    assert (scb != 3).sum() < 0.1 * lab.size
+
+
+def test_generate_scribble_background_only_line():
+    lab = np.zeros((48, 48), np.int32)
+    scb = generate_scribble(lab, num_classes=2, ignored_index=2)
+    n_bg = (scb == 0).sum()
+    assert n_bg >= 10  # extended to a line, not a single point
+
+
+def test_detect_endpoints_line():
+    m = np.zeros((15, 15))
+    m[7, 3:12] = 1
+    ep = detect_endpoints(m)
+    ys, xs = np.where(ep >= 1)
+    assert set(zip(ys, xs)) == {(7, 3), (7, 11)}
+
+
+def test_delete_endpoints_shortens():
+    m = np.zeros((15, 15))
+    m[7, 3:12] = 1   # length 9
+    unk = np.zeros_like(m)
+    short, unk2 = delete_endpoints(m, unk, length=9, ratio=0.5)
+    assert short.sum() == 5  # ceil(9*0.5) = 5
+    assert unk2.sum() == 4
+    # removed pixels moved to unknown
+    assert np.all((short + unk2)[m == 1] >= 1)
+
+
+def test_synthetic_dataset_layout_and_loader(synth_root):
+    train, val = read_fold_split(synth_root, "chaos", fold=0, modality="t1")
+    assert len(train) == 9 and len(val) == 3  # 12 slices, fold0 test = idx 0,5,10
+    test = read_test_split(synth_root, "chaost1", fold=0)
+    assert test == val
+
+    s = load_npz_slice(train[0])
+    assert s["image"].shape == (64, 60)
+    assert set(np.unique(s["scribble"])) <= {0, 1, 2, 3}
+
+    ds = SliceDataset(train, num_classes=3, ignored_index=3)
+    assert ds.canvas_size == 64  # round_up(max(64,60), 32)
+    sample = ds.load(0)
+    assert sample["image"].shape == (64, 64)
+    assert np.all(sample["label"][:, 60:] == 3)  # ignore padding
+    assert tuple(sample["size"]) == (64, 60)
+
+
+def test_batch_loader_shapes_and_epochs(synth_root):
+    train, _ = read_fold_split(synth_root, "chaos", fold=0, modality="t1")
+    ds = SliceDataset(train, num_classes=3, ignored_index=3)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=1)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 64, 64)
+    assert b["size"].shape == (4, 2)
+    assert len(b["uid"]) == 4
+    # different epoch -> different shuffle order
+    uids1 = [u for bt in batches for u in bt["uid"]]
+    uids2 = [u for bt in loader for u in bt["uid"]]
+    assert set(uids1) != set() and (uids1 != uids2 or len(set(uids1)) <= 1)
+
+
+def test_batch_loader_keep_last(synth_root):
+    _, val = read_fold_split(synth_root, "chaos", fold=0, modality="t1")
+    ds = SliceDataset(val, num_classes=3, ignored_index=3)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert sum(b["image"].shape[0] for b in batches) == 3
