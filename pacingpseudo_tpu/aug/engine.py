@@ -40,9 +40,10 @@ import jax
 import jax.numpy as jnp
 
 from pacingpseudo_tpu.aug.params import BaseAugParams, StrongAugParams
+from pacingpseudo_tpu.ops.resize import bilinear_resize_align_corners
 from pacingpseudo_tpu.ops.warp import (
     bilinear_sample,
-    label_vote_sample,
+    fused_warp_sample,
     separable_gaussian_blur,
 )
 
@@ -158,13 +159,21 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     qy = sin_t * rel_x + cos_t * rel_y + cyc
     rot_valid = (qy >= 0) & (qy <= new_h - 1) & (qx >= 0) & (qx <= new_w - 1)
 
-    # elastic displacement, evaluated on the static canvas grid
-    field_y = separable_gaussian_blur(
-        jax.random.uniform(keys[15], (ch, cw)) * 2.0 - 1.0,
-        sigma, p.elastic_blur_radius) * alpha
-    field_x = separable_gaussian_blur(
-        jax.random.uniform(jax.random.fold_in(keys[15], 1), (ch, cw)) * 2.0 - 1.0,
-        sigma, p.elastic_blur_radius) * alpha
+    # elastic displacement, evaluated on the static canvas grid; generated
+    # at low resolution (see BaseAugParams.elastic_field_downscale)
+    ds = p.elastic_field_downscale
+    fh, fw = max(ch // ds, 2), max(cw // ds, 2)
+    radius = min(p.elastic_blur_radius, fh - 1, fw - 1)  # reflect-pad bound
+    amp = alpha / ds  # amplitude correction for the coarser white noise
+
+    def _field(key):
+        noise = jax.random.uniform(key, (fh, fw)) * 2.0 - 1.0
+        low = separable_gaussian_blur(noise, sigma / ds, radius)
+        up = bilinear_resize_align_corners(low[None, :, :, None], ch, cw)
+        return up[0, :, :, 0] * amp
+
+    field_y = _field(keys[15])
+    field_x = _field(jax.random.fold_in(keys[15], 1))
     qy = jnp.clip(qy + field_y, 0.0, new_h - 1.0)   # mode='nearest' clamp
     qx = jnp.clip(qx + field_x, 0.0, new_w - 1.0)
 
@@ -173,11 +182,10 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     sy = (qy + 0.5) * (h / jnp.maximum(new_h, 1.0)) - 0.5
     sx = (qx + 0.5) * (w / jnp.maximum(new_w, 1.0)) - 0.5
 
-    # ---- Single gather per tensor.
-    img_out = bilinear_sample(img, sy, sx, bound_h=h, bound_w=w)
+    # ---- One fused gather pass for all three tensors (4 shared taps).
     num_vals = p.num_classes + 1
-    lab_out = label_vote_sample(label, sy, sx, num_vals, bound_h=h, bound_w=w)
-    scb_out = label_vote_sample(scribble, sy, sx, num_vals, bound_h=h, bound_w=w)
+    img_out, lab_out, scb_out = fused_warp_sample(
+        img, label, scribble, sy, sx, num_vals, bound_h=h, bound_w=w)
 
     # rotation padding (image 0 / labels ignored_index, augmentations.py:294-312)
     ign = jnp.int32(p.ignored_index)

@@ -95,6 +95,53 @@ def label_vote_sample(lab, sy, sx, num_values, bound_h=None, bound_w=None):
     return jnp.argmax(votes, axis=-1)
 
 
+def fused_warp_sample(image, label, scribble, sy, sx, num_values,
+                      bound_h, bound_w):
+    """Warp image (bilinear) + label/scribble (class vote) in 4 shared gathers.
+
+    The three tensors share the same sample coordinates, so their four
+    bilinear taps use identical indices: stacking them as channels turns 12
+    independent gathers into 4 row-gathers of a (H*W, 3) table — the
+    dominant cost of the augmentation warp on TPU.
+
+    Returns (image_out, label_out, scribble_out) with shapes of ``sy``.
+    """
+    h, w = image.shape
+    sy = jnp.clip(sy, 0.0, bound_h - 1.0)
+    sx = jnp.clip(sx, 0.0, bound_w - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, jnp.asarray(bound_h - 1, jnp.int32))
+    x1 = jnp.minimum(x0 + 1, jnp.asarray(bound_w - 1, jnp.int32))
+    fy = sy - y0
+    fx = sx - x0
+
+    stacked = jnp.stack(
+        [image, label.astype(jnp.float32), scribble.astype(jnp.float32)],
+        axis=-1).reshape(-1, 3)
+
+    img_acc = 0.0
+    lab_votes = 0.0
+    scb_votes = 0.0
+    for iy, ix, wgt in (
+        (y0, x0, (1 - fy) * (1 - fx)),
+        (y0, x1, (1 - fy) * fx),
+        (y1, x0, fy * (1 - fx)),
+        (y1, x1, fy * fx),
+    ):
+        rows = jnp.take(stacked, (iy * w + ix).reshape(-1), axis=0)
+        rows = rows.reshape(*iy.shape, 3)
+        img_acc = img_acc + wgt * rows[..., 0]
+        wv = wgt[..., None]
+        lab_votes = lab_votes + wv * jax.nn.one_hot(
+            rows[..., 1].astype(jnp.int32), num_values)
+        scb_votes = scb_votes + wv * jax.nn.one_hot(
+            rows[..., 2].astype(jnp.int32), num_values)
+    return (img_acc,
+            jnp.argmax(lab_votes, axis=-1),
+            jnp.argmax(scb_votes, axis=-1))
+
+
 def nearest_sample(src, sy, sx, bound_h=None, bound_w=None):
     """Nearest-neighbour resample (labels under pure rotation/elastic)."""
     h, w = src.shape

@@ -1,0 +1,93 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh.
+
+The JAX analogue of a fake multi-node backend (SURVEY.md §4): the jitted
+train step must produce the same losses whether the batch lives on one
+device or is sharded over 8, because jit+NamedSharding semantics are
+placement-independent (collectives only change WHERE the reductions run).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pacingpseudo_tpu.config import ExperimentConfig
+from pacingpseudo_tpu.models import PacingPseudoModel
+from pacingpseudo_tpu.parallel import data_mesh, replicate, shard_batch
+from pacingpseudo_tpu.train.optim import make_optimizer
+from pacingpseudo_tpu.train.state import create_train_state
+from pacingpseudo_tpu.train.step import make_pacing_train_step
+
+C = 3
+H = W = 32
+N = 8
+
+
+def _setup(rng):
+    config = ExperimentConfig(
+        num_classes=C, ignored_index=C, session="Experiment",
+        do_loss_ent=True, do_decoder_consistency=True, do_aux_path=True,
+        do_memory=True, batch_size=N, epoch=10, compute_dtype="float32",
+    ).validate()
+    model = PacingPseudoModel(num_classes=C, output_stride=8,
+                              do_aux_path=True, dtype=jnp.float32)
+    batch = {
+        "image": np.asarray(rng.randn(N, H, W, 1), np.float32),
+        "image_strong": np.asarray(rng.randn(N, H, W, 1), np.float32),
+        "scribble": np.eye(C + 1, dtype=np.float32)[
+            rng.randint(0, C + 1, (N, H, W))],
+        "valid_mask": np.ones((N, H, W, 1), np.float32),
+    }
+    tx = make_optimizer(config, steps_per_epoch=4)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, tx,
+        {"image": jnp.zeros((N, H, W, 1), jnp.float32)},
+        with_memory=True, num_classes=C)
+    step = make_pacing_train_step(config, model, tx, steps_per_epoch=4,
+                                  donate=False)
+    return config, model, state, batch, step
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(rng):
+    _, _, state, batch, step = _setup(rng)
+    key = jax.random.PRNGKey(3)
+
+    # single device
+    _, m1 = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    # 8-way data mesh
+    mesh = data_mesh(8)
+    state8 = replicate(state, mesh)
+    batch8 = shard_batch(batch, mesh)
+    st8, m8 = step(state8, batch8, key)
+
+    for k in m1:
+        assert np.allclose(float(m1[k]), float(m8[k]), rtol=2e-4, atol=1e-5), (
+            k, float(m1[k]), float(m8[k]))
+
+    # updated state stays replicated & equal to the single-device result
+    st1, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+    p1 = jax.tree.leaves(st1.params)[0]
+    p8 = jax.tree.leaves(st8.params)[0]
+    assert np.allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4, atol=1e-6)
+
+
+def test_batchnorm_is_cross_replica(rng):
+    """BN batch statistics must be computed over the GLOBAL batch: the
+    updated running mean must match the single-device run exactly, proving
+    XLA inserted the cross-device reduction (sync-BN by construction)."""
+    _, _, state, batch, step = _setup(rng)
+    key = jax.random.PRNGKey(3)
+    _, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+    st1, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    mesh = data_mesh(8)
+    st8, _ = step(replicate(state, mesh), shard_batch(batch, mesh), key)
+
+    bs1 = jax.tree.leaves(st1.batch_stats)
+    bs8 = jax.tree.leaves(st8.batch_stats)
+    for a, b in zip(bs1, bs8):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
