@@ -87,6 +87,9 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     """
     ch, cw = p.crop_size
     keys = jax.random.split(key, 16)
+    image = image.astype(jnp.float32)
+    label = label.astype(jnp.float32)
+    scribble = scribble.astype(jnp.float32)
     h = size[0].astype(jnp.float32)
     w = size[1].astype(jnp.float32)
 
@@ -358,7 +361,7 @@ def eval_preprocess_batch(raw: Dict[str, jnp.ndarray], num_classes: int):
     Returns image (N, S, S, 1), label one-hot (N, S, S, C), scribble one-hot
     (N, S, S, C+1), and ``region_mask`` (N, S, S, 1) for masked metrics.
     """
-    image = raw["image"]
+    image = raw["image"].astype(jnp.float32)
     n, s, _ = image.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (n, s, s), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, s, s), 2)

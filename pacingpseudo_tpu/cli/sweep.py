@@ -1,0 +1,100 @@
+"""Five-fold cross-validation sweep runner.
+
+The reference's published protocol (README tables; SURVEY.md §6) is a
+manual loop: train each fold, run inference.py per fold, average per-class
+Dice over patients, average anatomies excluding background, then average
+folds.  This driver automates it end-to-end for any dataset/session combo:
+
+  python -m pacingpseudo_tpu.cli.sweep --dataset chaos --modality t1 \\
+      --session Experiment --tag sweep1 --folds 0 1 2 3 4 \\
+      --do_loss_ent --do_decoder_consistency --do_aux_path --do_memory
+
+Writes ``sweep_summary.json`` + a README-style markdown table with per-fold
+and overall DSC / HD95.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    from pacingpseudo_tpu.cli.train import build_parser, config_from_args
+
+    p = build_parser()
+    p.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
+    p.add_argument("--sweep_out", type=str, default="")
+    args = p.parse_args(argv)
+
+    from pacingpseudo_tpu.config import DATASETS
+    from pacingpseudo_tpu.evals.infer import run_inference
+    from pacingpseudo_tpu.train.loop import train_driver
+
+    if args.synthetic_data:
+        from pacingpseudo_tpu.data.synthetic import write_synthetic_dataset
+        spec = DATASETS[args.dataset]
+        write_synthetic_dataset(
+            args.data_root, args.dataset, args.synthetic_data,
+            spec.input_size, spec.num_classes, spec.ignored_index,
+            modality=args.modality, seed=args.seed)
+        args.synthetic_data = 0
+
+    eval_ds = args.dataset
+    if eval_ds == "chaos":
+        eval_ds = "chaost1" if args.modality == "t1" else "chaost2"
+
+    results = {}
+    for fold in args.folds:
+        args.fold = fold
+        config = config_from_args(args).validate()
+        run_dir = train_driver(config, args.data_root,
+                               max_steps_per_epoch=args.max_steps_per_epoch or None)
+        best = os.path.join(run_dir, "best_ckp")
+        infer_dir = os.path.join(run_dir, "inference")
+        os.makedirs(infer_dir, exist_ok=True)
+        res = run_inference(
+            dataset=eval_ds, fold=fold, checkpoint_path=best,
+            data_root=args.data_root, run_dir=infer_dir,
+            batch_size=max(args.batch_size, 1),
+            model_kwargs=dict(
+                input_ch=args.input_ch, init_ch=args.init_ch,
+                max_ch=args.max_ch, output_stride=args.output_stride,
+                is_stride_conv=args.is_stride_conv,
+                is_trans_conv=args.is_trans_conv),
+            compute_dtype=args.compute_dtype)
+        results[fold] = {"dice": res["dice"], "hd95": res["hd95"],
+                         "run_dir": run_dir}
+
+    dices = [results[f]["dice"] for f in args.folds]
+    hd95s = [results[f]["hd95"] for f in args.folds]
+    summary = {
+        "dataset": eval_ds,
+        "session": args.session,
+        "folds": {str(f): results[f] for f in args.folds},
+        "overall_dice": float(np.mean(dices)),
+        "overall_hd95": float(np.nanmean(hd95s)),
+    }
+
+    out_dir = args.sweep_out or os.path.join(args.root, f"sweep-{args.tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "sweep_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    cols = " | ".join(f"Fold {f}" for f in args.folds)
+    drow = " | ".join(f"{d:.4f}" for d in dices)
+    hrow = " | ".join(f"{h:.2f}" for h in hd95s)
+    table = (f"| Metric | {cols} | Overall |\n"
+             f"|---|{'---|' * (len(args.folds) + 1)}\n"
+             f"| DSC | {drow} | {summary['overall_dice']:.4f} |\n"
+             f"| HD95 (mm) | {hrow} | {summary['overall_hd95']:.2f} |\n")
+    with open(os.path.join(out_dir, "sweep_table.md"), "w") as f:
+        f.write(table)
+    print(table)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

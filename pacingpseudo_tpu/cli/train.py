@@ -103,6 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref_quirk_bn_eval_after_first_epoch", action="store_true",
                    default=False)
     p.add_argument("--num_devices", type=int, default=0)
+    p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--max_steps_per_epoch", type=int, default=0,
                    help="debug: cap steps per epoch")
@@ -164,6 +165,7 @@ def config_from_args(args) -> ExperimentConfig:
         memory_update_mode=args.memory_update_mode,
         ref_quirk_bn_eval_after_first_epoch=args.ref_quirk_bn_eval_after_first_epoch,
         num_devices=args.num_devices,
+        steps_per_dispatch=args.steps_per_dispatch,
         resume=args.resume,
     )
 

@@ -142,6 +142,12 @@ class ExperimentConfig:
     # back (train_chaos.py:370, upper_bound_chaos.py:183), freezing BN in
     # running-stats mode from epoch 1 on.  True reproduces that.
     num_devices: int = 0                  # 0 = all visible devices (data mesh)
+    steps_per_dispatch: int = 8           # train steps scanned into one XLA
+                                          # dispatch (amortises host->device
+                                          # dispatch latency; 1 disables)
+    use_pallas_loss: str = "auto"         # fused Pallas loss kernel for the
+                                          # pce/ent/soft-ce reduction:
+                                          # auto (TPU only) | on | off
     host_augment: bool = False            # run the aug engine on host (debug)
     resume: bool = False                  # resume from latest checkpoint
 
@@ -158,6 +164,7 @@ class ExperimentConfig:
         assert self.memory_update_mode in ("all", "first")
         assert self.output_stride in (8, 16, 32)
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.use_pallas_loss in ("auto", "on", "off")
         if self.do_memory:
             assert self.do_aux_path, "do_memory requires do_aux_path"
         return self

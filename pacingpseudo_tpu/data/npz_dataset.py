@@ -92,7 +92,8 @@ class BatchLoader:
 
     def __init__(self, dataset: SliceDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
-                 seed: int = 0, num_threads: int = 8, prefetch: int = 2):
+                 seed: int = 0, num_threads: int = 8, prefetch: int = 2,
+                 native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -100,6 +101,15 @@ class BatchLoader:
         self.rng = np.random.RandomState(seed)
         self.num_threads = num_threads
         self.prefetch = prefetch
+        # Prefer the C++ loader (data/native): zip walk + inflate + npy
+        # parse + canvas padding in a std::thread pool, no GIL.
+        self._native = False
+        if native:
+            try:
+                from pacingpseudo_tpu.data.native import native_available
+                self._native = native_available()
+            except Exception:
+                self._native = False
 
     def __len__(self):
         n = len(self.dataset)
@@ -108,6 +118,17 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _collate(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        if self._native:
+            import os
+
+            from pacingpseudo_tpu.data.native import load_batch_native
+            paths = [self.dataset.file_ls[i] for i in idxs]
+            batch = load_batch_native(paths, self.dataset.canvas_size,
+                                      float(self.dataset.ignored_index),
+                                      num_threads=self.num_threads)
+            batch["uid"] = [os.path.splitext(os.path.basename(p))[0]
+                            for p in paths]
+            return batch
         samples = [self.dataset.load(i) for i in idxs]
         batch = {
             k: np.stack([s[k] for s in samples])

@@ -34,13 +34,17 @@ def data_mesh(num_devices: int = 0) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
-def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard axis 0 (batch) over ``data``; replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    """Shard ``axis`` (the batch axis) over ``data``; replicate the rest."""
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(batch: Dict[str, jax.Array], mesh: Optional[Mesh]):
-    """Device-put a batch dict with batch-axis sharding (host lists pass through)."""
+def shard_batch(batch: Dict[str, jax.Array], mesh: Optional[Mesh],
+                axis: int = 0):
+    """Device-put a batch dict with batch-axis sharding (host lists pass
+    through).  ``axis=1`` serves chunked batches stacked as (K, N, ...)."""
     if mesh is None or np.prod(mesh.devices.shape) == 1:
         return {k: (jax.device_put(v) if not isinstance(v, list) else v)
                 for k, v in batch.items()}
@@ -49,7 +53,7 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Optional[Mesh]):
         if isinstance(v, list):
             out[k] = v
             continue
-        out[k] = jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+        out[k] = jax.device_put(v, batch_sharding(mesh, np.ndim(v), axis))
     return out
 
 

@@ -42,6 +42,7 @@ from pacingpseudo_tpu.train import checkpoint as ckpt_lib
 from pacingpseudo_tpu.train.optim import make_optimizer
 from pacingpseudo_tpu.train.state import create_train_state
 from pacingpseudo_tpu.train.step import (
+    make_chunked_train_step,
     make_pacing_eval_step,
     make_pacing_train_step,
     make_upper_bound_eval_step,
@@ -140,6 +141,22 @@ def _build_model(config: ExperimentConfig, siamese: bool) -> PacingPseudoModel:
         fuse_streams=config.fuse_streams,
         dtype=dtype,
     )
+
+
+def _shrink_raw(raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Shrink host->device transfer dtypes: image f16, labels/scribbles u8.
+
+    The relay link makes batch upload a visible cost; the aug engine casts
+    back to float32 on device (f16 is lossless for label values and ~1e-3
+    relative for intensities — far below augmentation noise).
+    """
+    out = dict(raw)
+    if out["image"].dtype != np.float16:
+        out["image"] = out["image"].astype(np.float16)
+    for k in ("label", "scribble"):
+        if k in out and out[k].dtype != np.uint8:
+            out[k] = out[k].astype(np.uint8)
+    return out
 
 
 def _pad_batch(raw: Dict[str, np.ndarray], to: int):
@@ -254,12 +271,24 @@ def train_driver(config: ExperimentConfig, data_root: str,
     else:
         make_train = make_pacing_train_step
         eval_step = make_pacing_eval_step(config, model)
-    train_step = make_train(config, model, tx, steps_per_epoch,
-                            module_train=True, augment_fn=augment_fn)
-    train_step_frozen = None
+
+    # Chunked dispatch: scan ``steps_per_dispatch`` steps into one XLA
+    # program to amortise host->device dispatch latency (step.py).
+    chunk = max(1, int(config.steps_per_dispatch))
+    chunk = min(chunk, steps_per_epoch)
+
+    def _build(module_train):
+        body = make_train(config, model, tx, steps_per_epoch,
+                          module_train=module_train, augment_fn=augment_fn,
+                          jit=False)
+        single = jax.jit(body, donate_argnums=(0,))
+        chunked = (make_chunked_train_step(body, chunk) if chunk > 1 else None)
+        return single, chunked
+
+    train_step, train_chunked = _build(True)
+    train_step_frozen = train_chunked_frozen = None
     if config.ref_quirk_bn_eval_after_first_epoch:
-        train_step_frozen = make_train(config, model, tx, steps_per_epoch,
-                                       module_train=False, augment_fn=augment_fn)
+        train_step_frozen, train_chunked_frozen = _build(False)
 
     tb = _tb_writer(run_dir)
     valdice = np.zeros(config.epoch)
@@ -268,23 +297,45 @@ def train_driver(config: ExperimentConfig, data_root: str,
 
     for epoch in range(start_epoch, config.epoch):
         tic = time.time()
-        step_fn = train_step
+        step_fn, chunked_fn = train_step, train_chunked
         if train_step_frozen is not None and epoch >= 1:
-            step_fn = train_step_frozen
+            step_fn, chunked_fn = train_step_frozen, train_chunked_frozen
 
         acc = None
         n_steps = 0
+        pending: List[Dict[str, np.ndarray]] = []
+
+        def _flush_chunk():
+            nonlocal state, acc, n_steps, pending
+            if not pending:
+                return
+            if chunked_fn is not None and len(pending) == chunk:
+                stacked = {k: np.stack([b[k] for b in pending])
+                           for k in pending[0]}
+                batch = shard_batch(_shrink_raw(stacked), mesh, axis=1)
+                state, metrics = chunked_fn(state, batch, data_rng)
+                acc = _device_metrics_accumulate(acc, metrics)
+                n_steps += len(pending)
+            else:
+                for b in pending:
+                    batch = shard_batch(_shrink_raw(b), mesh)
+                    state, metrics = step_fn(state, batch, data_rng)
+                    acc = _device_metrics_accumulate(acc, metrics)
+                    n_steps += 1
+            pending = []
+
         for raw in train_loader:
-            if n_steps >= steps_per_epoch:
+            if n_steps + len(pending) >= steps_per_epoch:
                 break
             raw.pop("uid", None)
-            batch = shard_batch(raw, mesh)
-            state, metrics = step_fn(state, batch, data_rng)
-            acc = _device_metrics_accumulate(acc, metrics)
-            n_steps += 1
-        toc = time.time()
-
+            pending.append(raw)
+            if len(pending) == chunk:
+                _flush_chunk()
+        _flush_chunk()
+        # Materialise the accumulated device metrics BEFORE stopping the
+        # epoch timer — dispatches are async and only this host read waits.
         means = {k: float(v) / n_steps for k, v in acc.items()}
+        toc = time.time()
         slices_per_sec = n_steps * config.batch_size / max(toc - tic, 1e-9)
         logging.info(
             "epoch: %03d, lr: %.6f, %s, %.2f s/epoch, %.1f slices/s",

@@ -36,10 +36,25 @@ from pacingpseudo_tpu.losses import (
     soft_label_cross_entropy_loss,
 )
 from pacingpseudo_tpu.evals.dice import dice_per_class_jax
+from pacingpseudo_tpu.ops.pallas.fused_loss import fused_pacing_losses
 from pacingpseudo_tpu.models.aux_path import memory_update
 from pacingpseudo_tpu.models.pacing import PacingPseudoModel
 from pacingpseudo_tpu.train.schedules import gaussian_ramp_up, make_lr_schedule
 from pacingpseudo_tpu.train.state import TrainState
+
+
+def _use_fused_loss_kernel(config, valid_mask) -> bool:
+    """Decide whether the Pallas fused-loss path applies to this config."""
+    if config.use_pallas_loss == "off":
+        return False
+    if config.use_pallas_loss == "auto" and jax.default_backend() not in (
+            "tpu", "axon"):
+        return False
+    # The kernel covers: pce + masked ent + non-detached soft-CE consistency.
+    return (valid_mask is not None
+            and config.do_decoder_consistency
+            and config.loss_cr_variants == "ce_loss"
+            and not config.detach_weak_cr)
 
 
 def _pacing_losses(config, model, params, batch_stats, bank, batch, epoch,
@@ -58,6 +73,31 @@ def _pacing_losses(config, model, params, batch_stats, bank, batch, epoch,
 
     logits_weak = outputs["segmentation/logits"]
     scb_target = jnp.argmax(scribble, axis=-1)
+
+    if _use_fused_loss_kernel(config, valid_mask):
+        # One Pallas pass over both logit fields (ops/pallas/fused_loss.py).
+        loss_pce, ent_raw, sce_raw = fused_pacing_losses(
+            logits_weak, outputs["segmentation/logits_strong"],
+            scb_target, valid_mask[..., 0], config.ignored_index, False)
+        total = loss_pce
+        metrics = {"loss_pce": loss_pce}
+        if config.do_loss_ent:
+            w = (gaussian_ramp_up(epoch, config.loss_ent_weight,
+                                  scale=config.ramp_up_scale)
+                 if config.ramp_up_loss_ent else config.loss_ent_weight)
+            loss_ent = ent_raw * w
+            total = total + loss_ent
+            metrics["loss_ent"] = loss_ent
+        w = (gaussian_ramp_up(epoch, config.loss_cr_weight,
+                              scale=config.ramp_up_scale)
+             if config.ramp_up_loss_cr else config.loss_cr_weight)
+        loss_cr = sce_raw * w
+        total = total + loss_cr
+        metrics["loss_cr"] = loss_cr
+        return _pacing_aux_losses(config, model, params, outputs, scribble,
+                                  scb_target, bank, epoch, total, metrics,
+                                  new_batch_stats)
+
     # Reference: consistency_reglur_memory.py:29-36
     loss_pce = partial_cross_entropy_loss(logits_weak, scb_target,
                                           config.ignored_index)
@@ -99,6 +139,14 @@ def _pacing_losses(config, model, params, batch_stats, bank, batch, epoch,
         total = total + loss_cr
         metrics["loss_cr"] = loss_cr
 
+    return _pacing_aux_losses(config, model, params, outputs, scribble,
+                              scb_target, bank, epoch, total, metrics,
+                              new_batch_stats)
+
+
+def _pacing_aux_losses(config, model, params, outputs, scribble, scb_target,
+                       bank, epoch, total, metrics, new_batch_stats):
+    """Aux-path + memory-bank tail shared by the XLA and Pallas loss paths."""
     new_bank = bank
     if config.do_aux_path:
         # Reference: consistency_reglur_memory.py:73-90 + train_chaos.py:294-301
@@ -133,7 +181,8 @@ def _pacing_losses(config, model, params, batch_stats, bank, batch, epoch,
 def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
                            module_train: bool = True,
                            augment_fn: Callable | None = None,
-                           donate: bool = True):
+                           donate: bool = True,
+                           jit: bool = True):
     """Build the jitted pacing train step.
 
     Args:
@@ -141,6 +190,8 @@ def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
         ``ref_quirk_bn_eval_after_first_epoch`` for epochs >= 1.
       augment_fn: optional on-device augmentation ``(batch, rng) -> batch``
         fused into the same XLA program (see aug/).
+      jit: False returns the raw step body (for scanning into a chunked
+        multi-step program, see :func:`make_chunked_train_step`).
     """
     lr_by_epoch = make_lr_schedule(config.lr_decay, config.epoch, config.lr)
 
@@ -170,7 +221,41 @@ def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
         )
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_chunked_train_step(step_body: Callable, chunk: int):
+    """Scan ``chunk`` train steps into ONE jitted dispatch.
+
+    Motivation: in this deployment the host reaches the TPU through a relay
+    whose per-dispatch overhead is tens of milliseconds — comparable to a
+    whole train step.  Scanning K steps over a stacked raw-batch chunk
+    ``(K, N, S, S)`` amortises that overhead K-fold (and lets XLA overlap
+    the chunk's host transfer with compute).
+
+    Args:
+      step_body: an UNJITTED step from ``make_*_train_step(..., jit=False)``.
+      chunk: static number of steps per dispatch.
+
+    Returns:
+      jitted ``(state, raw_stack, key) -> (state, metrics)`` where
+      ``raw_stack`` is the pytree of stacked raw batches with a leading
+      chunk axis and ``metrics`` are summed over the chunk.
+    """
+
+    def chunked(state, raw_stack, key):
+        def body(st, xs):
+            raw, i = xs
+            st, metrics = step_body(st, raw, jax.random.fold_in(key, i))
+            return st, metrics
+
+        state, ms = jax.lax.scan(
+            body, state, (raw_stack, jnp.arange(chunk)))
+        return state, jax.tree.map(lambda x: jnp.sum(x, axis=0), ms)
+
+    return jax.jit(chunked, donate_argnums=(0,))
 
 
 def make_pacing_eval_step(config, model):
@@ -225,7 +310,8 @@ def _upper_bound_losses(config, model, params, batch_stats, batch,
 def make_upper_bound_train_step(config, model, tx, steps_per_epoch: int,
                                 module_train: bool = True,
                                 augment_fn: Callable | None = None,
-                                donate: bool = True):
+                                donate: bool = True,
+                                jit: bool = True):
     lr_by_epoch = make_lr_schedule(config.lr_decay, config.epoch, config.lr)
 
     def train_step(state: TrainState, batch, rng):
@@ -250,6 +336,8 @@ def make_upper_bound_train_step(config, model, tx, steps_per_epoch: int,
         )
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
