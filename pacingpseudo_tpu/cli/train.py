@@ -109,6 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: cap steps per epoch")
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="generate N synthetic slices under --data_root first")
+    p.add_argument("--input_size", type=int, nargs=2, default=None,
+                   help="override the dataset crop size (smoke runs)")
     return p
 
 
@@ -166,6 +168,7 @@ def config_from_args(args) -> ExperimentConfig:
         ref_quirk_bn_eval_after_first_epoch=args.ref_quirk_bn_eval_after_first_epoch,
         num_devices=args.num_devices,
         steps_per_dispatch=args.steps_per_dispatch,
+        input_size=tuple(args.input_size) if args.input_size else None,
         resume=args.resume,
     )
 
@@ -182,7 +185,8 @@ def main(argv=None):
         spec = DATASETS[config.dataset]
         write_synthetic_dataset(
             args.data_root, config.dataset, args.synthetic_data,
-            spec.input_size, config.num_classes, config.ignored_index,
+            tuple(args.input_size) if args.input_size else spec.input_size,
+            config.num_classes, config.ignored_index,
             modality=config.modality, seed=config.seed)
 
     from pacingpseudo_tpu.train.loop import train_driver

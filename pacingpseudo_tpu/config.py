@@ -150,6 +150,12 @@ class ExperimentConfig:
                                           # auto (TPU only) | on | off
     host_augment: bool = False            # run the aug engine on host (debug)
     resume: bool = False                  # resume from latest checkpoint
+    input_size: Optional[Tuple[int, int]] = None  # override the dataset's
+                                          # crop size (debug/smoke runs)
+    tb_figures: bool = True               # per-epoch TB figure panels
+                                          # (train_chaos.py:321-360)
+    profile_dir: str = ""                 # write one jax.profiler trace of
+                                          # epoch start+1 here (empty = off)
 
     @property
     def spec(self) -> DatasetSpec:

@@ -234,15 +234,23 @@ def train_driver(config: ExperimentConfig, data_root: str,
     logging.info("train slices=%d val slices=%d steps/epoch=%d canvas=%d",
                  len(train_ds), len(val_ds), steps_per_epoch, train_ds.canvas_size)
 
-    # ---- mesh / model / state
-    mesh = data_mesh(config.num_devices)
-    n_dev = int(np.prod(mesh.devices.shape))
+    # ---- mesh / model / state.  The data mesh must divide the batch; use
+    # the largest divisor of batch_size not exceeding the available devices.
+    avail = config.num_devices or len(jax.devices())
+    n_dev = max(d for d in range(1, avail + 1) if config.batch_size % d == 0)
+    if n_dev != avail:
+        logging.info("clamping data mesh %d -> %d (batch %d divisibility)",
+                     avail, n_dev, config.batch_size)
+    mesh = data_mesh(n_dev)
     logging.info("devices: %s (data mesh of %d)", jax.devices()[:n_dev], n_dev)
 
     model = _build_model(config, siamese)
     tx = make_optimizer(config, steps_per_epoch)
 
     base_params = base_params_for(config.dataset)
+    if config.input_size:
+        base_params = dataclasses.replace(
+            base_params, crop_size=tuple(config.input_size))
     strong_params = strong_params_for(config.augmentations, config.strength)
     augment_fn = make_train_augment_fn(base_params, strong_params, do_strong)
 
@@ -295,7 +303,16 @@ def train_driver(config: ExperimentConfig, data_root: str,
     best_avg, best_epoch = 0.0, 0
     data_rng = jax.random.PRNGKey(config.seed + 1)
 
+    profiled = False
     for epoch in range(start_epoch, config.epoch):
+        if (config.profile_dir and not profiled and epoch > start_epoch):
+            # one profiler trace after warm compile (SURVEY.md §5 tracing)
+            try:
+                jax.profiler.start_trace(config.profile_dir)
+                profiled = True
+            except Exception as e:  # relay backends may not support tracing
+                logging.info("profiler unavailable: %s", e)
+                profiled = True
         tic = time.time()
         step_fn, chunked_fn = train_step, train_chunked
         if train_step_frozen is not None and epoch >= 1:
@@ -350,6 +367,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
 
         # ---- validation (full labels, masked to the live region)
         vs = ValState(config.num_classes)
+        first_val = True
         for raw in val_loader:
             raw.pop("uid", None)
             raw, n_real = _pad_batch(raw, config.batch_size)
@@ -368,6 +386,13 @@ def train_driver(config: ExperimentConfig, data_root: str,
             probs = jax.nn.softmax(outputs["segmentation/logits"], axis=-1)
             dice = dice_per_class_jax(probs, proc["label"], region_mask=region)
             vs.update(loss_val, dice, n_real, n_real)
+            if first_val and tb is not None and config.tb_figures:
+                _tb_figures(tb,
+                            {k: np.asarray(v) for k, v in proc.items()
+                             if not isinstance(v, list)},
+                            {"logits": np.asarray(outputs["segmentation/logits"])},
+                            epoch)
+                first_val = False
         per_class, avg_all = vs.summary()
         valdice[epoch] = avg_all
         spec_names = list(config.spec.classnames)
@@ -381,6 +406,13 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 tb.add_scalar(f"DSC/{n_}", d, epoch)
             tb.add_scalar("DSC/All", avg_all, epoch)
             tb.add_scalar("DSC/Best", max(best_avg, avg_all), epoch)
+
+        if profiled and config.profile_dir and epoch == start_epoch + 1:
+            try:
+                jax.profiler.stop_trace()
+                logging.info("profiler trace written to %s", config.profile_dir)
+            except Exception:
+                pass
 
         # ---- checkpoints (fixed interval precedence + final epoch,
         # reference: train_chaos.py:405-413)

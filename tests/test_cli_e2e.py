@@ -1,0 +1,129 @@
+"""End-to-end CLI tests on CPU: train -> artifacts -> inference -> resume.
+
+Uses a tiny model (init_ch=8, 32x32 crop) so CPU compiles stay cheap; the
+full-size path is exercised on the real TPU by bench.py and smoke runs.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(argv, timeout=900):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""     # skip axon registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable] + argv, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_root = str(root / "data")
+    out_root = str(root / "outputs" / "chaos")
+    r = _run([
+        "train_chaos.py", "--tag", "e2e", "--session", "Experiment",
+        "--do_loss_ent", "--do_decoder_consistency", "--do_aux_path",
+        "--do_memory", "--synthetic_data", "20", "--epoch", "2",
+        "--batch_size", "4", "--fold", "0", "--init_ch", "8",
+        "--input_size", "32", "32", "--compute_dtype", "float32",
+        "--steps_per_dispatch", "2", "--ckp_interval", "1",
+        "--data_root", data_root, "--root", out_root,
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    run_dirs = glob.glob(out_root + "/t1/Experiment/Experiment-*")
+    assert len(run_dirs) == 1
+    return {"root": str(root), "data_root": data_root,
+            "out_root": out_root, "run_dir": run_dirs[0]}
+
+
+def test_train_artifacts(trained):
+    rd = trained["run_dir"]
+    assert os.path.isfile(os.path.join(rd, "log.txt"))
+    assert os.path.isfile(os.path.join(rd, "valdice.npz"))
+    assert os.path.isdir(os.path.join(rd, "best_ckp"))
+    assert os.path.isdir(os.path.join(rd, "ckps", "ckp_0"))
+    assert os.path.isdir(os.path.join(rd, "ckps", "ckp_1"))
+    cfg = json.load(open(os.path.join(rd, "config.json")))
+    assert cfg["session"] == "Experiment" and cfg["do_memory"] is True
+    vd = np.load(os.path.join(rd, "valdice.npz"))["valdice"]
+    assert vd.shape == (2,)
+    log = open(os.path.join(rd, "log.txt")).read()
+    assert "loss_pce" in log and "val: 001" in log
+
+
+def test_inference_cli(trained):
+    rd = trained["run_dir"]
+    out_root = os.path.join(trained["root"], "outputs")
+    r = _run([
+        "inference.py", "--dataset", "chaost1", "--fold", "0",
+        "--checkpoint_file", rd, "--best_ckp", "--init_ch", "8",
+        "--compute_dtype", "float32", "--batch_size", "4",
+        "--data_root", trained["data_root"], "--root", out_root,
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    eval_npz = glob.glob(out_root + "/Inference/chaost1/*/eval_data.npz")
+    assert len(eval_npz) == 1
+    data = np.load(eval_npz[0])
+    assert data["dicearr"].shape[1] == 5
+    assert data["hd95arr"].shape == data["dicearr"].shape
+
+
+def test_resume(trained):
+    """--resume restores from the latest checkpoint and continues."""
+    rd = trained["run_dir"]
+    from pacingpseudo_tpu.train.checkpoint import latest_checkpoint
+    assert latest_checkpoint(rd).endswith("ckp_1")
+
+
+def test_upper_bound_cli(tmp_path):
+    data_root = str(tmp_path / "data")
+    out_root = str(tmp_path / "outputs" / "chaos")
+    r = _run([
+        "upper_bound_chaos.py", "--tag", "ub", "--fold", "0",
+        "--synthetic_data", "12", "--epoch", "1", "--batch_size", "4",
+        "--init_ch", "8", "--input_size", "32", "32",
+        "--compute_dtype", "float32", "--data_root", data_root,
+        "--root", out_root,
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = glob.glob(out_root + "/t1/Upperbound/*/log.txt")
+    assert len(log) == 1
+    content = open(log[0]).read()
+    assert "loss_ce" in content and "loss_dice" in content
+
+
+def test_scribble_tools_cli(tmp_path):
+    from pacingpseudo_tpu.data.synthetic import write_synthetic_dataset
+    root = str(tmp_path)
+    write_synthetic_dataset(root, "lvsc", 3, (32, 32), 2, 2, seed=1)
+    in_dir = os.path.join(root, "lvsc", "slices")
+    out_dir = os.path.join(root, "short")
+    r = _run(["-m", "pacingpseudo_tpu.cli.scribble_tools", "shorten",
+              "--in_dir", in_dir, "--out_dir", out_dir,
+              "--num_classes", "2", "--ignored_index", "2", "--ratio", "0.5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = sorted(glob.glob(out_dir + "/*.npz"))
+    assert len(outs) == 3
+    for a, b in zip(sorted(glob.glob(in_dir + "/*.npz")), outs):
+        sa = np.load(a)["scb"]
+        sb = np.load(b)["scb"]
+        for cls in range(2):
+            la, lb = (sa == cls).sum(), (sb == cls).sum()
+            if la > 0:
+                assert lb <= max(np.ceil(la * 0.5), 1) + 8  # shortened
+
+    r2 = _run(["-m", "pacingpseudo_tpu.cli.scribble_tools", "generate",
+               "--in_dir", in_dir, "--out_dir", os.path.join(root, "gen"),
+               "--num_classes", "2", "--ignored_index", "2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    gen = np.load(sorted(glob.glob(root + "/gen/*.npz"))[0])["scb"]
+    assert set(np.unique(gen)) <= {0, 1, 2}
