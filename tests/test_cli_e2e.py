@@ -127,3 +127,50 @@ def test_scribble_tools_cli(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     gen = np.load(sorted(glob.glob(root + "/gen/*.npz"))[0])["scb"]
     assert set(np.unique(gen)) <= {0, 1, 2}
+
+
+def test_sweep_cli(tmp_path):
+    """One-fold sweep: train + per-fold inference + aggregated table."""
+    data_root = str(tmp_path / "data")
+    out_root = str(tmp_path / "outputs" / "chaos")
+    r = _run([
+        "-m", "pacingpseudo_tpu.cli.sweep", "--tag", "sw", "--session",
+        "Control", "--folds", "0", "--synthetic_data", "15", "--epoch", "1",
+        "--batch_size", "4", "--init_ch", "8", "--input_size", "32", "32",
+        "--compute_dtype", "float32", "--data_root", data_root,
+        "--root", out_root,
+    ], timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = glob.glob(out_root + "/sweep-sw/sweep_summary.json")
+    assert len(summary) == 1
+    data = json.load(open(summary[0]))
+    assert "0" in data["folds"] and 0.0 <= data["overall_dice"] <= 1.0
+    table = open(out_root + "/sweep-sw/sweep_table.md").read()
+    assert "DSC" in table and "HD95" in table
+
+
+def test_acdc_train_and_eval(tmp_path):
+    """The non-chaos dataset axis (4 classes, no modality dir) end-to-end."""
+    data_root = str(tmp_path / "data")
+    out_root = str(tmp_path / "outputs" / "acdc")
+    r = _run([
+        "train_chaos.py", "--dataset", "acdc", "--tag", "ac", "--session",
+        "Experiment", "--do_loss_ent", "--do_decoder_consistency",
+        "--synthetic_data", "12", "--epoch", "1", "--batch_size", "4",
+        "--fold", "0", "--init_ch", "8", "--input_size", "32", "32",
+        "--compute_dtype", "float32", "--data_root", data_root,
+        "--root", out_root,
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    run_dirs = glob.glob(out_root + "/Experiment/Experiment-*")
+    assert len(run_dirs) == 1  # no modality level for acdc
+    r2 = _run([
+        "inference.py", "--dataset", "acdc", "--fold", "0",
+        "--checkpoint_file", run_dirs[0], "--best_ckp", "--init_ch", "8",
+        "--compute_dtype", "float32", "--data_root", data_root,
+        "--root", str(tmp_path / "outputs"),
+    ])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    npz = glob.glob(str(tmp_path / "outputs") + "/Inference/acdc/*/eval_data.npz")
+    assert len(npz) == 1
+    assert np.load(npz[0])["dicearr"].shape[1] == 4
