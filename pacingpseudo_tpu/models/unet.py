@@ -154,12 +154,16 @@ class DecBlock(nn.Module):
     def __call__(self, x, skip, train: bool):
         if self.is_trans_conv:
             # nnUNet-style: transposed conv maps lower_ch -> skip_ch.
+            # transpose_kernel=True selects torch ConvTranspose2d semantics
+            # (gradient-of-conv: spatially flipped kernel, (kh,kw,out,in)
+            # layout) so reference checkpoints import bit-compatibly.
             x = nn.ConvTranspose(
                 features=skip.shape[-1],
                 kernel_size=(self.up_factor, self.up_factor),
                 strides=(self.up_factor, self.up_factor),
                 padding="VALID",
                 use_bias=False,
+                transpose_kernel=True,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 kernel_init=torch_conv_kernel_init,
