@@ -120,9 +120,11 @@ def fused_warp_sample(image, label, scribble, sy, sx, num_values,
         [image, label.astype(jnp.float32), scribble.astype(jnp.float32)],
         axis=-1).reshape(-1, 3)
 
+    # Vote tallies keep the class axis UNROLLED as a static Python list of
+    # full-lane (H, W) planes: a trailing num_values=3..6 axis would be
+    # padded to the 128-lane tile and waste ~20x of the VPU.
     img_acc = 0.0
-    lab_votes = 0.0
-    scb_votes = 0.0
+    taps = []
     for iy, ix, wgt in (
         (y0, x0, (1 - fy) * (1 - fx)),
         (y0, x1, (1 - fy) * fx),
@@ -132,14 +134,24 @@ def fused_warp_sample(image, label, scribble, sy, sx, num_values,
         rows = jnp.take(stacked, (iy * w + ix).reshape(-1), axis=0)
         rows = rows.reshape(*iy.shape, 3)
         img_acc = img_acc + wgt * rows[..., 0]
-        wv = wgt[..., None]
-        lab_votes = lab_votes + wv * jax.nn.one_hot(
-            rows[..., 1].astype(jnp.int32), num_values)
-        scb_votes = scb_votes + wv * jax.nn.one_hot(
-            rows[..., 2].astype(jnp.int32), num_values)
-    return (img_acc,
-            jnp.argmax(lab_votes, axis=-1),
-            jnp.argmax(scb_votes, axis=-1))
+        taps.append((rows[..., 1], rows[..., 2], wgt))
+
+    def vote_argmax(tensor_idx):
+        best_val = None
+        best_cls = None
+        for v in range(num_values):
+            vote = 0.0
+            for tap in taps:
+                vote = vote + tap[2] * (tap[tensor_idx] == v)
+            if best_val is None:
+                best_val, best_cls = vote, jnp.zeros_like(vote, jnp.int32)
+            else:
+                take_new = vote > best_val  # strict: ties keep the lower class
+                best_val = jnp.where(take_new, vote, best_val)
+                best_cls = jnp.where(take_new, v, best_cls)
+        return best_cls
+
+    return img_acc, vote_argmax(0), vote_argmax(1)
 
 
 def nearest_sample(src, sy, sx, bound_h=None, bound_w=None):

@@ -374,23 +374,17 @@ def train_driver(config: ExperimentConfig, data_root: str,
             proc = eval_preprocess_batch(
                 {k: jnp.asarray(v) for k, v in raw.items()}, config.num_classes)
             proc = shard_batch({k: np.asarray(v) for k, v in proc.items()}, mesh)
-            region = proc.pop("region_mask")
+            # one forward per batch: loss + region-masked Dice + logits
             if upper_bound:
-                loss_ce, _, _ = eval_step(state, proc)
-                loss_val = loss_ce
+                loss_val, _, dice, logits = eval_step(state, proc)
             else:
-                loss_val, _ = eval_step(state, proc)
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            # dice with region masking (canvas padding excluded)
-            outputs = model.apply(variables, proc["image"], None, train=False)
-            probs = jax.nn.softmax(outputs["segmentation/logits"], axis=-1)
-            dice = dice_per_class_jax(probs, proc["label"], region_mask=region)
+                loss_val, dice, logits = eval_step(state, proc)
             vs.update(loss_val, dice, n_real, n_real)
             if first_val and tb is not None and config.tb_figures:
                 _tb_figures(tb,
                             {k: np.asarray(v) for k, v in proc.items()
                              if not isinstance(v, list)},
-                            {"logits": np.asarray(outputs["segmentation/logits"])},
+                            {"logits": np.asarray(logits)},
                             epoch)
                 first_val = False
         per_class, avg_all = vs.summary()

@@ -273,8 +273,9 @@ def make_pacing_eval_step(config, model):
         scb_target = jnp.argmax(batch["scribble"], axis=-1)
         loss_pce = partial_cross_entropy_loss(logits, scb_target, config.ignored_index)
         probs = jax.nn.softmax(logits, axis=-1)
-        dice = dice_per_class_jax(probs, batch["label"])
-        return loss_pce, dice
+        dice = dice_per_class_jax(probs, batch["label"],
+                                  region_mask=batch.get("region_mask"))
+        return loss_pce, dice, logits
 
     return jax.jit(eval_step)
 
@@ -352,7 +353,8 @@ def make_upper_bound_eval_step(config, model):
         loss_ce = partial_cross_entropy_loss(logits, target, config.ignored_index)
         loss_dice = dice_loss_fn(logits, batch["label"])
         probs = jax.nn.softmax(logits, axis=-1)
-        dice = dice_per_class_jax(probs, batch["label"])
-        return loss_ce, loss_dice, dice
+        dice = dice_per_class_jax(probs, batch["label"],
+                                  region_mask=batch.get("region_mask"))
+        return loss_ce, loss_dice, dice, logits
 
     return jax.jit(eval_step)

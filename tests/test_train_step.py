@@ -144,9 +144,10 @@ def test_pacing_eval_step(rng):
     config = _config()
     model, tx, state, batch = _setup(config, rng)
     eval_step = make_pacing_eval_step(config, model)
-    loss_pce, dice = eval_step(state, batch)
+    loss_pce, dice, logits = eval_step(state, batch)
     assert np.isfinite(float(loss_pce))
     assert dice.shape == (2, C)
+    assert logits.shape == (2, H, W, C)
 
 
 def test_upper_bound_step_and_eval(rng):
@@ -168,7 +169,7 @@ def test_upper_bound_step_and_eval(rng):
     assert float(m2["loss_ce"]) < float(m["loss_ce"])
 
     eval_step = make_upper_bound_eval_step(config, model)
-    loss_ce, loss_dice, dice = eval_step(st, batch)
+    loss_ce, loss_dice, dice, logits = eval_step(st, batch)
     assert dice.shape == (2, C)
 
 
