@@ -21,7 +21,7 @@ def test_chunked_equals_sequential(rng):
         do_loss_ent=True, do_decoder_consistency=True, do_aux_path=True,
         do_memory=True, batch_size=N, epoch=10, compute_dtype="float32",
     ).validate()
-    model = PacingPseudoModel(num_classes=C, output_stride=8,
+    model = PacingPseudoModel(num_classes=C, init_ch=8, output_stride=8,
                               do_aux_path=True, dtype=jnp.float32)
     tx = make_optimizer(config, steps_per_epoch=4)
     state = create_train_state(

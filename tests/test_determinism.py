@@ -26,7 +26,7 @@ def _run_steps(seed):
         do_memory=False, batch_size=2, epoch=10, compute_dtype="float32",
         seed=seed,
     ).validate()
-    model = PacingPseudoModel(num_classes=C, output_stride=8,
+    model = PacingPseudoModel(num_classes=C, init_ch=8, output_stride=8,
                               do_aux_path=False, dtype=jnp.float32)
     bp = BaseAugParams(crop_size=(H, H), num_classes=C, ignored_index=C,
                        elastic_field_downscale=4, elastic_blur_radius=3)

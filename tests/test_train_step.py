@@ -51,6 +51,7 @@ def _batch(rng, n=2):
 def _model(config):
     return PacingPseudoModel(
         num_classes=config.num_classes,
+        init_ch=8,  # small model: CPU-test speed (full size covered on TPU)
         output_stride=config.output_stride,
         do_aux_path=config.do_aux_path,
         hid_ch=config.hid_ch,
