@@ -14,15 +14,11 @@ a thread pool overlapping the next device batch.
 from __future__ import annotations
 
 import argparse
-import concurrent.futures
 import logging
 import os
 import random
-import time
 
 import numpy as np
-
-from pacingpseudo_tpu.config import DATASETS
 
 
 def build_parser() -> argparse.ArgumentParser:

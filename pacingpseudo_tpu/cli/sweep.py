@@ -14,7 +14,6 @@ and overall DSC / HD95.
 """
 from __future__ import annotations
 
-import argparse
 import json
 import os
 

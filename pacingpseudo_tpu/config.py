@@ -148,7 +148,6 @@ class ExperimentConfig:
     use_pallas_loss: str = "auto"         # fused Pallas loss kernel for the
                                           # pce/ent/soft-ce reduction:
                                           # auto (TPU only) | on | off
-    host_augment: bool = False            # run the aug engine on host (debug)
     resume: bool = False                  # resume from latest checkpoint
     input_size: Optional[Tuple[int, int]] = None  # override the dataset's
                                           # crop size (debug/smoke runs)

@@ -35,7 +35,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pacingpseudo_tpu.models.unet import make_torch_bias_init, torch_conv_kernel_init
+from pacingpseudo_tpu.models.unet import torch_conv_kernel_init
 from pacingpseudo_tpu.ops.resize import bilinear_resize_align_corners
 from pacingpseudo_tpu.train.schedules import memory_momentum
 

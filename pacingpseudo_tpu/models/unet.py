@@ -25,7 +25,7 @@ and BatchNorm statistics, weight init matching torch's Conv2d default
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

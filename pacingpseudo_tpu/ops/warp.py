@@ -58,43 +58,6 @@ def bilinear_sample(src, sy, sx, bound_h=None, bound_w=None):
             + fy * (1 - fx) * v10 + fy * fx * v11)
 
 
-def label_vote_sample(lab, sy, sx, num_values, bound_h=None, bound_w=None):
-    """Class-vote resample of an integer label map at real coordinates.
-
-    The four bilinear neighbours vote with their interpolation weights;
-    the argmax class wins (ties break toward the lower class index, like
-    numpy argmax in the reference's one-hot argmax).
-
-    Args:
-      lab: (H, W) integer-valued (may be float-typed) label map.
-      num_values: number of distinct label values (classes + ignore).
-    """
-    h, w = lab.shape
-    bh = h if bound_h is None else bound_h
-    bw = w if bound_w is None else bound_w
-    sy = jnp.clip(sy, 0.0, bh - 1.0)
-    sx = jnp.clip(sx, 0.0, bw - 1.0)
-    y0 = jnp.floor(sy).astype(jnp.int32)
-    x0 = jnp.floor(sx).astype(jnp.int32)
-    one = jnp.int32(1)
-    y1 = jnp.minimum(y0 + one, jnp.asarray(bh - 1, jnp.int32))
-    x1 = jnp.minimum(x0 + one, jnp.asarray(bw - 1, jnp.int32))
-    fy = (sy - y0)[..., None]
-    fx = (sx - x0)[..., None]
-
-    labi = lab.astype(jnp.int32)
-    votes = 0.0
-    for iy, ix, wgt in (
-        (y0, x0, (1 - fy) * (1 - fx)),
-        (y0, x1, (1 - fy) * fx),
-        (y1, x0, fy * (1 - fx)),
-        (y1, x1, fy * fx),
-    ):
-        cls = _flat_take(labi, iy, ix)
-        votes = votes + wgt * jax.nn.one_hot(cls, num_values)
-    return jnp.argmax(votes, axis=-1)
-
-
 def fused_warp_sample(image, label, scribble, sy, sx, num_values,
                       bound_h, bound_w):
     """Warp image (bilinear) + label/scribble (class vote) in 4 shared gathers.
@@ -152,16 +115,6 @@ def fused_warp_sample(image, label, scribble, sy, sx, num_values,
         return best_cls
 
     return img_acc, vote_argmax(0), vote_argmax(1)
-
-
-def nearest_sample(src, sy, sx, bound_h=None, bound_w=None):
-    """Nearest-neighbour resample (labels under pure rotation/elastic)."""
-    h, w = src.shape
-    bh = h if bound_h is None else bound_h
-    bw = w if bound_w is None else bound_w
-    iy = jnp.clip(jnp.round(sy), 0, bh - 1).astype(jnp.int32)
-    ix = jnp.clip(jnp.round(sx), 0, bw - 1).astype(jnp.int32)
-    return _flat_take(src, iy, ix)
 
 
 def separable_gaussian_blur(img, sigma, radius: int):

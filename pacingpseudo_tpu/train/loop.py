@@ -35,7 +35,6 @@ from pacingpseudo_tpu.aug.engine import eval_preprocess_batch, make_train_augmen
 from pacingpseudo_tpu.aug.presets import base_params_for, strong_params_for
 from pacingpseudo_tpu.config import ExperimentConfig
 from pacingpseudo_tpu.data import BatchLoader, SliceDataset, read_fold_split
-from pacingpseudo_tpu.evals.dice import dice_per_class_jax
 from pacingpseudo_tpu.models import PacingPseudoModel
 from pacingpseudo_tpu.parallel import data_mesh, replicate, shard_batch
 from pacingpseudo_tpu.train import checkpoint as ckpt_lib
@@ -410,13 +409,21 @@ def train_driver(config: ExperimentConfig, data_root: str,
 
         # ---- checkpoints (fixed interval precedence + final epoch,
         # reference: train_chaos.py:405-413)
-        host_state = jax.tree.map(np.asarray, jax.device_get(state))
-        if (epoch + 1) % config.ckp_interval == 0 or (epoch + 1) == config.epoch:
-            ckpt_lib.save_checkpoint(
-                os.path.join(run_dir, "ckps", f"ckp_{epoch}"), host_state)
-        if avg_all > best_avg:
-            best_epoch, best_avg = epoch, avg_all
-            ckpt_lib.save_checkpoint(os.path.join(run_dir, "best_ckp"), host_state)
+        # Materialise the state on host ONLY when a checkpoint actually
+        # fires — device_get of the full state is hundreds of MB over the
+        # device link and must not run every epoch.
+        save_interval = ((epoch + 1) % config.ckp_interval == 0
+                         or (epoch + 1) == config.epoch)
+        save_best = avg_all > best_avg
+        if save_interval or save_best:
+            host_state = jax.tree.map(np.asarray, jax.device_get(state))
+            if save_interval:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(run_dir, "ckps", f"ckp_{epoch}"), host_state)
+            if save_best:
+                best_epoch, best_avg = epoch, avg_all
+                ckpt_lib.save_checkpoint(
+                    os.path.join(run_dir, "best_ckp"), host_state)
 
     logging.info("The best at epoch: %d, All: %.4f", best_epoch, best_avg)
     np.savez(os.path.join(run_dir, "valdice"), valdice=valdice)

@@ -19,7 +19,6 @@ after multiplying the ramp weight).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict
 
 import jax
