@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--run_dir", type=str, default="",
+                   help="use this exact run directory (required to --resume "
+                        "an existing run; default: a fresh timestamped dir)")
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="auto-resume the run after transient failures "
+                        "(e.g. device backend hiccups) up to N times")
     p.add_argument("--max_steps_per_epoch", type=int, default=0,
                    help="debug: cap steps per epoch")
     p.add_argument("--synthetic_data", type=int, default=0,
@@ -189,9 +195,36 @@ def main(argv=None):
             config.num_classes, config.ignored_index,
             modality=config.modality, seed=config.seed)
 
-    from pacingpseudo_tpu.train.loop import train_driver
-    return train_driver(config, args.data_root,
-                        max_steps_per_epoch=args.max_steps_per_epoch or None)
+    from pacingpseudo_tpu.train.loop import make_run_dir, train_driver
+
+    # Failure recovery (absent in the reference, SURVEY.md §5): on a crash
+    # the run auto-resumes from its latest checkpoint in the SAME run dir,
+    # up to --max_restarts times.  KeyboardInterrupt always propagates.
+    if args.run_dir:
+        import os
+        run_dir = args.run_dir
+        os.makedirs(os.path.join(run_dir, "ckps"), exist_ok=True)
+    else:
+        run_dir = make_run_dir(config)
+    attempts = 0
+    while True:
+        try:
+            return train_driver(
+                config, args.data_root, run_dir=run_dir,
+                max_steps_per_epoch=args.max_steps_per_epoch or None)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            attempts += 1
+            if attempts > args.max_restarts:
+                raise
+            import logging
+            import traceback
+            logging.error("training attempt %d failed:\n%s",
+                          attempts, traceback.format_exc())
+            logging.error("restarting with resume (%d/%d)",
+                          attempts, args.max_restarts)
+            config.resume = True
 
 
 if __name__ == "__main__":

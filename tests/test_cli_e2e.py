@@ -174,3 +174,24 @@ def test_acdc_train_and_eval(tmp_path):
     npz = glob.glob(str(tmp_path / "outputs") + "/Inference/acdc/*/eval_data.npz")
     assert len(npz) == 1
     assert np.load(npz[0])["dicearr"].shape[1] == 4
+
+
+def test_resume_continues_training(trained):
+    """--resume --run_dir restores the latest checkpoint and finishes the
+    remaining epochs in the same directory."""
+    rd = trained["run_dir"]
+    r = _run([
+        "train_chaos.py", "--tag", "e2e", "--session", "Experiment",
+        "--do_loss_ent", "--do_decoder_consistency", "--do_aux_path",
+        "--do_memory", "--epoch", "3", "--batch_size", "4", "--fold", "0",
+        "--init_ch", "8", "--input_size", "32", "32",
+        "--compute_dtype", "float32", "--steps_per_dispatch", "2",
+        "--ckp_interval", "1", "--resume", "--run_dir", rd,
+        "--data_root", trained["data_root"], "--root", trained["out_root"],
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = open(os.path.join(rd, "log.txt")).read()
+    assert "resumed from" in log
+    assert os.path.isdir(os.path.join(rd, "ckps", "ckp_2"))
+    vd = np.load(os.path.join(rd, "valdice.npz"))["valdice"]
+    assert vd.shape == (3,)
