@@ -299,6 +299,13 @@ def train_driver(config: ExperimentConfig, data_root: str,
 
     tb = _tb_writer(run_dir)
     valdice = np.zeros(config.epoch)
+    if start_epoch > 0:
+        # keep pre-resume history in valdice.npz (reference artifact parity)
+        prev = os.path.join(run_dir, "valdice.npz")
+        if os.path.isfile(prev):
+            old_vd = np.load(prev)["valdice"]
+            n = min(len(old_vd), start_epoch, config.epoch)
+            valdice[:n] = old_vd[:n]
     best_avg, best_epoch = 0.0, 0
     data_rng = jax.random.PRNGKey(config.seed + 1)
 
@@ -388,6 +395,9 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 first_val = False
         per_class, avg_all = vs.summary()
         valdice[epoch] = avg_all
+        # persist every epoch (cheap) so crash+resume keeps the history;
+        # the reference wrote it once at the end (train_chaos.py:428)
+        np.savez(os.path.join(run_dir, "valdice"), valdice=valdice)
         spec_names = list(config.spec.classnames)
         logging.info("val: %03d, loss: %.6f, [%s, All: %.4f]",
                      epoch, vs.loss.avg,
