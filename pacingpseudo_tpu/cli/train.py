@@ -104,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--steps_per_dispatch", type=int, default=8)
+    p.add_argument("--device_resident_data", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--run_dir", type=str, default="",
                    help="use this exact run directory (required to --resume "
@@ -174,6 +176,7 @@ def config_from_args(args) -> ExperimentConfig:
         ref_quirk_bn_eval_after_first_epoch=args.ref_quirk_bn_eval_after_first_epoch,
         num_devices=args.num_devices,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_resident_data=args.device_resident_data,
         input_size=tuple(args.input_size) if args.input_size else None,
         resume=args.resume,
     )

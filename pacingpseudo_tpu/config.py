@@ -145,6 +145,10 @@ class ExperimentConfig:
     steps_per_dispatch: int = 8           # train steps scanned into one XLA
                                           # dispatch (amortises host->device
                                           # dispatch latency; 1 disables)
+    device_resident_data: str = "auto"    # stage the whole training set in
+                                          # HBM (f16/u8) and send only batch
+                                          # indices per step: auto (single
+                                          # device & pool < 6 GB) | on | off
     use_pallas_loss: str = "auto"         # fused Pallas loss kernel for the
                                           # pce/ent/soft-ce reduction:
                                           # auto (TPU only) | on | off
@@ -170,6 +174,7 @@ class ExperimentConfig:
         assert self.output_stride in (8, 16, 32)
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.use_pallas_loss in ("auto", "on", "off")
+        assert self.device_resident_data in ("auto", "on", "off")
         if self.do_memory:
             assert self.do_aux_path, "do_memory requires do_aux_path"
         return self

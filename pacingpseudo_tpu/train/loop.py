@@ -44,6 +44,7 @@ from pacingpseudo_tpu.train.step import (
     make_chunked_train_step,
     make_pacing_eval_step,
     make_pacing_train_step,
+    make_resident_chunked_train_step,
     make_upper_bound_eval_step,
     make_upper_bound_train_step,
 )
@@ -284,18 +285,50 @@ def train_driver(config: ExperimentConfig, data_root: str,
     chunk = max(1, int(config.steps_per_dispatch))
     chunk = min(chunk, steps_per_epoch)
 
+    # Device-resident data: stage every training canvas in HBM once and
+    # send only per-step index blocks (step.py make_resident_chunked_...).
+    pool_bytes = len(train_ds) * train_ds.canvas_size ** 2 * 4  # f16+u8+u8
+    use_resident = (config.device_resident_data == "on"
+                    or (config.device_resident_data == "auto"
+                        and n_dev == 1
+                        and pool_bytes < 6 * 2 ** 30))
+    resident_pool = None
+    if use_resident:
+        logging.info("staging %d slices (%.2f GB) in device memory",
+                     len(train_ds), pool_bytes / 2 ** 30)
+        stage_loader = BatchLoader(train_ds, batch_size=256, shuffle=False,
+                                   drop_last=False)
+        parts = [_shrink_raw({k: v for k, v in b.items() if k != "uid"})
+                 for b in stage_loader]
+        resident_pool = {
+            k: jax.device_put(np.concatenate([p[k] for p in parts]))
+            for k in parts[0]
+        }
+        del parts
+
+    rem = steps_per_epoch % chunk
+
     def _build(module_train):
         body = make_train(config, model, tx, steps_per_epoch,
                           module_train=module_train, augment_fn=augment_fn,
                           jit=False)
         single = jax.jit(body, donate_argnums=(0,))
-        chunked = (make_chunked_train_step(body, chunk) if chunk > 1 else None)
-        return single, chunked
+        if use_resident:
+            chunked = make_resident_chunked_train_step(body, chunk)
+            chunked_rem = (make_resident_chunked_train_step(body, rem)
+                           if rem else None)
+        else:
+            chunked = (make_chunked_train_step(body, chunk)
+                       if chunk > 1 else None)
+            chunked_rem = None
+        return single, chunked, chunked_rem
 
-    train_step, train_chunked = _build(True)
-    train_step_frozen = train_chunked_frozen = None
+    train_step, train_chunked, train_chunked_rem = _build(True)
+    train_step_frozen = train_chunked_frozen = train_chunked_rem_frozen = None
     if config.ref_quirk_bn_eval_after_first_epoch:
-        train_step_frozen, train_chunked_frozen = _build(False)
+        (train_step_frozen, train_chunked_frozen,
+         train_chunked_rem_frozen) = _build(False)
+    resident_rng = np.random.RandomState(config.seed + 2)
 
     tb = _tb_writer(run_dir)
     valdice = np.zeros(config.epoch)
@@ -320,15 +353,36 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 logging.info("profiler unavailable: %s", e)
                 profiled = True
         tic = time.time()
-        step_fn, chunked_fn = train_step, train_chunked
+        step_fn, chunked_fn, chunked_rem_fn = (
+            train_step, train_chunked, train_chunked_rem)
         if train_step_frozen is not None and epoch >= 1:
-            step_fn, chunked_fn = train_step_frozen, train_chunked_frozen
+            step_fn, chunked_fn, chunked_rem_fn = (
+                train_step_frozen, train_chunked_frozen,
+                train_chunked_rem_frozen)
 
         acc = None
         n_steps = 0
+
+        if use_resident:
+            # Shuffle slice indices on host; ship only (chunk, batch) int32
+            # blocks — batches are gathered from the HBM pool on device.
+            order = np.arange(len(train_ds))
+            resident_rng.shuffle(order)
+            order = order[:steps_per_epoch * config.batch_size]
+            blocks = order.reshape(steps_per_epoch, config.batch_size)
+            pos = 0
+            while pos < steps_per_epoch:
+                k = min(chunk, steps_per_epoch - pos)
+                fn = chunked_fn if k == chunk else chunked_rem_fn
+                state, metrics = fn(
+                    state, resident_pool,
+                    jnp.asarray(blocks[pos:pos + k], jnp.int32), data_rng)
+                acc = _device_metrics_accumulate(acc, metrics)
+                n_steps += k
+                pos += k
         pending: List[Dict[str, np.ndarray]] = []
 
-        def _flush_chunk():
+        def _flush_chunk():  # streaming path (datasets too large for HBM)
             nonlocal state, acc, n_steps, pending
             if not pending:
                 return
@@ -347,14 +401,15 @@ def train_driver(config: ExperimentConfig, data_root: str,
                     n_steps += 1
             pending = []
 
-        for raw in train_loader:
-            if n_steps + len(pending) >= steps_per_epoch:
-                break
-            raw.pop("uid", None)
-            pending.append(raw)
-            if len(pending) == chunk:
-                _flush_chunk()
-        _flush_chunk()
+        if not use_resident:
+            for raw in train_loader:
+                if n_steps + len(pending) >= steps_per_epoch:
+                    break
+                raw.pop("uid", None)
+                pending.append(raw)
+                if len(pending) == chunk:
+                    _flush_chunk()
+            _flush_chunk()
         # Materialise the accumulated device metrics BEFORE stopping the
         # epoch timer — dispatches are async and only this host read waits.
         means = {k: float(v) / n_steps for k, v in acc.items()}

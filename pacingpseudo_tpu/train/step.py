@@ -257,6 +257,40 @@ def make_chunked_train_step(step_body: Callable, chunk: int):
     return jax.jit(chunked, donate_argnums=(0,))
 
 
+def make_resident_chunked_train_step(step_body, chunk: int):
+    """Chunked multi-step over a DEVICE-RESIDENT data pool.
+
+    For datasets that fit in HBM (CHAOS/ACDC ~1 GB, LVSC ~4.4 GB as
+    f16/u8 canvases) the whole training set is uploaded once and each
+    dispatch receives only a (chunk, batch) int32 index block: per-step raw
+    batches are gathered from the pool ON DEVICE, eliminating the per-step
+    host->device canvas transfer (the ~24%% system overhead measured on the
+    relay link).
+
+    Args:
+      step_body: unjitted step from ``make_*_train_step(..., jit=False)``.
+      chunk: static steps per dispatch.
+
+    Returns:
+      jitted ``(state, pool, idx_block, key) -> (state, summed_metrics)``
+      where ``pool`` is the dict of stacked slice canvases (+ ``size``) and
+      ``idx_block`` is (chunk, batch) int32.
+    """
+
+    def chunked(state, pool, idx_block, key):
+        def body(st, xs):
+            idx, i = xs
+            raw = {k: jnp.take(v, idx, axis=0) for k, v in pool.items()}
+            st, metrics = step_body(st, raw, jax.random.fold_in(key, i))
+            return st, metrics
+
+        state, ms = jax.lax.scan(
+            body, state, (idx_block, jnp.arange(chunk)))
+        return state, jax.tree.map(lambda x: jnp.sum(x, axis=0), ms)
+
+    return jax.jit(chunked, donate_argnums=(0,))
+
+
 def make_pacing_eval_step(config, model):
     """Validation step: weak forward (running BN stats), PCE + per-class Dice.
 
