@@ -381,6 +381,27 @@ def eval_preprocess_batch(raw: Dict[str, jnp.ndarray], num_classes: int):
     }
 
 
+@functools.partial(jax.jit, static_argnames=())
+def eval_preprocess_image(image, size):
+    """Inference-only preprocessing: MeanStdNorm over the live region.
+
+    Slim sibling of :func:`eval_preprocess_batch` — the inference driver
+    uploads only the image (f16) and sizes; labels/scribbles stay on the
+    host where the metrics run (evals/infer.py).
+    """
+    image = image.astype(jnp.float32)
+    n, s, _ = image.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, s, s), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, s, s), 2)
+    region = ((row < size[:, 0, None, None]) &
+              (col < size[:, 1, None, None])).astype(jnp.float32)
+    cnt = jnp.maximum(region.sum(axis=(1, 2), keepdims=True), 1.0)
+    mean = (image * region).sum(axis=(1, 2), keepdims=True) / cnt
+    var = (jnp.square(image - mean) * region).sum(axis=(1, 2), keepdims=True) / cnt
+    img = (image - mean) / (jnp.sqrt(var) + _EPS)
+    return (img * region)[..., None]
+
+
 def make_train_augment_fn(base_params: BaseAugParams,
                           strong_params: StrongAugParams = None,
                           do_strong: bool = False):

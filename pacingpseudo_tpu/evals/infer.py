@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pacingpseudo_tpu.aug.engine import eval_preprocess_batch
+from pacingpseudo_tpu.aug.engine import eval_preprocess_image
 from pacingpseudo_tpu.config import DATASETS
 from pacingpseudo_tpu.data import BatchLoader, SliceDataset, read_test_split
 from pacingpseudo_tpu.evals.dice import compute_dice_hard
@@ -71,9 +71,11 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
     variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
-    def forward_hard(image):
+    def forward_hard(image_f16, size):
+        image = eval_preprocess_image(image_f16, size)
         out = model.apply(variables, image, train=False)
-        return jnp.argmax(out["segmentation/logits"], axis=-1)
+        # uint8 halves-again the prediction download (num_classes <= 255)
+        return jnp.argmax(out["segmentation/logits"], axis=-1).astype(jnp.uint8)
 
     dicearr: List[List[float]] = []
     hd95arr: List[List[float]] = []
@@ -90,16 +92,29 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
     n_slices = 0
     with concurrent.futures.ThreadPoolExecutor(max(num_workers, 1)) as pool:
         pending = []
-        for raw in loader:
-            uids = raw.pop("uid")
-            proc = eval_preprocess_batch(
-                {k: jnp.asarray(v) for k, v in raw.items()}, num_classes)
-            preds = np.asarray(forward_hard(proc["image"]))
+        in_flight = []  # double buffer: overlap device batch i+1 with D2H of i
+
+        def _drain(entry):
+            nonlocal n_slices
+            dev_preds, raw = entry
+            preds = np.asarray(dev_preds)
             for i in range(preds.shape[0]):
                 h, w = int(raw["size"][i][0]), int(raw["size"][i][1])
                 pending.append(pool.submit(
                     host_metrics, preds[i], raw["label"][i], h, w))
                 n_slices += 1
+
+        for raw in loader:
+            raw.pop("uid")
+            # upload only the image (f16) + sizes; labels stay host-side
+            dev_preds = forward_hard(
+                jnp.asarray(raw["image"].astype(np.float16)),
+                jnp.asarray(raw["size"]))
+            in_flight.append((dev_preds, raw))
+            if len(in_flight) > 1:
+                _drain(in_flight.pop(0))
+        while in_flight:
+            _drain(in_flight.pop(0))
         for fut in pending:
             dicelog, hd95log = fut.result()
             dicearr.append(dicelog)
