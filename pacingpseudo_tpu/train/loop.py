@@ -45,6 +45,7 @@ from pacingpseudo_tpu.train.step import (
     make_pacing_eval_step,
     make_pacing_train_step,
     make_resident_chunked_train_step,
+    make_resident_eval_fn,
     make_upper_bound_eval_step,
     make_upper_bound_train_step,
 )
@@ -306,6 +307,29 @@ def train_driver(config: ExperimentConfig, data_root: str,
         }
         del parts
 
+    # Resident validation: stage the val pool + static index blocks so the
+    # whole validation pass is ONE dispatch (step.py make_resident_eval_fn).
+    val_pool = val_idx_blocks = val_valid_blocks = resident_eval = None
+    if use_resident:
+        vstage = BatchLoader(val_ds, batch_size=256, shuffle=False,
+                             drop_last=False)
+        parts = [_shrink_raw({k: v for k, v in b.items() if k != "uid"})
+                 for b in vstage]
+        val_pool = {
+            k: jax.device_put(np.concatenate([p[k] for p in parts]))
+            for k in parts[0]
+        }
+        del parts
+        n_val = len(val_ds)
+        n_blocks = (n_val + config.batch_size - 1) // config.batch_size
+        idx = np.arange(n_blocks * config.batch_size)
+        val_valid_blocks = jnp.asarray(
+            (idx < n_val).reshape(n_blocks, config.batch_size))
+        val_idx_blocks = jnp.asarray(
+            np.minimum(idx, n_val - 1).reshape(n_blocks, config.batch_size),
+            jnp.int32)
+        resident_eval = make_resident_eval_fn(config, model, upper_bound)
+
     rem = steps_per_epoch % chunk
 
     def _build(module_train):
@@ -427,39 +451,72 @@ def train_driver(config: ExperimentConfig, data_root: str,
             tb.add_scalar("perf/slices_per_sec", slices_per_sec, epoch)
 
         # ---- validation (full labels, masked to the live region)
-        vs = ValState(config.num_classes)
-        first_val = True
-        for raw in val_loader:
-            raw.pop("uid", None)
-            raw, n_real = _pad_batch(raw, config.batch_size)
-            proc = eval_preprocess_batch(
-                {k: jnp.asarray(v) for k, v in raw.items()}, config.num_classes)
-            proc = shard_batch({k: np.asarray(v) for k, v in proc.items()}, mesh)
-            # one forward per batch: loss + region-masked Dice + logits
-            if upper_bound:
-                loss_val, _, dice, logits = eval_step(state, proc)
-            else:
-                loss_val, dice, logits = eval_step(state, proc)
-            vs.update(loss_val, dice, n_real, n_real)
-            if first_val and tb is not None and config.tb_figures:
-                _tb_figures(tb,
-                            {k: np.asarray(v) for k, v in proc.items()
-                             if not isinstance(v, list)},
-                            {"logits": np.asarray(logits)},
-                            epoch)
-                first_val = False
-        per_class, avg_all = vs.summary()
+        if use_resident:
+            # whole val set in one dispatch; NaN-skipping AvgMeter semantics
+            # reproduced by the on-device sums/counts
+            acc_val = resident_eval(state, val_pool, val_idx_blocks,
+                                    val_valid_blocks)
+            dice_sum = np.asarray(acc_val["dice_sum"])
+            dice_cnt = np.asarray(acc_val["dice_cnt"])
+            per_class = list(np.where(dice_cnt > 0, dice_sum /
+                                      np.maximum(dice_cnt, 1.0), 0.0))
+            avg_all = (float(np.mean(per_class[1:]))
+                       if len(per_class) > 1 else float(per_class[0]))
+            val_loss_avg = (float(acc_val["loss_sum"]) /
+                            max(float(acc_val["n_sum"]), 1e-9))
+            if tb is not None and config.tb_figures:
+                # one streamed batch for the figure panels
+                for raw in val_loader:
+                    raw.pop("uid", None)
+                    raw, _ = _pad_batch(raw, config.batch_size)
+                    proc = eval_preprocess_batch(
+                        {k: jnp.asarray(v) for k, v in raw.items()},
+                        config.num_classes)
+                    if upper_bound:
+                        _, _, _, logits = eval_step(state, proc)
+                    else:
+                        _, _, logits = eval_step(state, proc)
+                    _tb_figures(tb,
+                                {k: np.asarray(v) for k, v in proc.items()},
+                                {"logits": np.asarray(logits)}, epoch)
+                    break
+        else:
+            vs = ValState(config.num_classes)
+            first_val = True
+            for raw in val_loader:
+                raw.pop("uid", None)
+                raw, n_real = _pad_batch(raw, config.batch_size)
+                proc = eval_preprocess_batch(
+                    {k: jnp.asarray(v) for k, v in raw.items()},
+                    config.num_classes)
+                proc = shard_batch({k: np.asarray(v) for k, v in proc.items()},
+                                   mesh)
+                # one forward per batch: loss + region-masked Dice + logits
+                if upper_bound:
+                    loss_val, _, dice, logits = eval_step(state, proc)
+                else:
+                    loss_val, dice, logits = eval_step(state, proc)
+                vs.update(loss_val, dice, n_real, n_real)
+                if first_val and tb is not None and config.tb_figures:
+                    _tb_figures(tb,
+                                {k: np.asarray(v) for k, v in proc.items()
+                                 if not isinstance(v, list)},
+                                {"logits": np.asarray(logits)},
+                                epoch)
+                    first_val = False
+            per_class, avg_all = vs.summary()
+            val_loss_avg = vs.loss.avg
         valdice[epoch] = avg_all
         # persist every epoch (cheap) so crash+resume keeps the history;
         # the reference wrote it once at the end (train_chaos.py:428)
         np.savez(os.path.join(run_dir, "valdice"), valdice=valdice)
         spec_names = list(config.spec.classnames)
         logging.info("val: %03d, loss: %.6f, [%s, All: %.4f]",
-                     epoch, vs.loss.avg,
+                     epoch, val_loss_avg,
                      ", ".join(f"{n}: {d:.4f}" for n, d in zip(spec_names, per_class)),
                      avg_all)
         if tb:
-            tb.add_scalar("losses/loss_val", vs.loss.avg, epoch)
+            tb.add_scalar("losses/loss_val", val_loss_avg, epoch)
             for n_, d in zip(spec_names, per_class):
                 tb.add_scalar(f"DSC/{n_}", d, epoch)
             tb.add_scalar("DSC/All", avg_all, epoch)

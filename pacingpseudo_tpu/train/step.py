@@ -313,6 +313,88 @@ def make_pacing_eval_step(config, model):
     return jax.jit(eval_step)
 
 
+def make_resident_eval_fn(config, model, upper_bound: bool):
+    """Whole-validation-set evaluation in ONE jitted dispatch.
+
+    Gathers batches from a device-resident val pool by index blocks, runs
+    the eval forward per block under ``lax.scan`` and accumulates the
+    reference's metrics ON DEVICE: per-class Dice sums + non-NaN counts
+    (AvgMeter-skipping-NaN semantics, train_chaos.py:388-391) and the
+    sample-weighted validation loss.  The host receives five small arrays
+    instead of per-batch tensors.
+
+    Args:
+      upper_bound: CE-on-labels variant (upper_bound_chaos.py:186-209)
+        instead of PCE-on-scribbles.
+
+    Returns:
+      jitted ``(state, pool, idx_blocks, valid_blocks) -> dict`` with
+      ``loss_sum, n_sum, dice_sum (C,), dice_cnt (C,)`` where
+      ``idx_blocks`` is (B, N) int32 and ``valid_blocks`` (B, N) bool masks
+      the padding of the last partial batch.
+    """
+    num_classes = config.num_classes
+
+    def eval_all(state, pool, idx_blocks, valid_blocks):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(carry, xs):
+            idx, sample_valid = xs
+            raw = {k: jnp.take(v, idx, axis=0) for k, v in pool.items()}
+            image = raw["image"].astype(jnp.float32)
+            n, s_dim = image.shape[0], image.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, s_dim, s_dim), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n, s_dim, s_dim), 2)
+            region = ((row < raw["size"][:, 0, None, None]) &
+                      (col < raw["size"][:, 1, None, None])).astype(jnp.float32)
+            cnt = jnp.maximum(region.sum(axis=(1, 2), keepdims=True), 1.0)
+            mean = (image * region).sum(axis=(1, 2), keepdims=True) / cnt
+            var = (jnp.square(image - mean) * region
+                   ).sum(axis=(1, 2), keepdims=True) / cnt
+            img = ((image - mean) / (jnp.sqrt(var) + 1e-8) * region)[..., None]
+
+            outputs = model.apply(variables, img, None, train=False)
+            logits = outputs["segmentation/logits"]
+            label = raw["label"].astype(jnp.int32)
+            label_oh = jax.nn.one_hot(label, num_classes) * region[..., None]
+
+            if upper_bound:
+                loss = partial_cross_entropy_loss(
+                    logits, label, config.ignored_index)
+            else:
+                scb = raw["scribble"].astype(jnp.int32)
+                loss = partial_cross_entropy_loss(
+                    logits, scb, config.ignored_index)
+
+            probs = jax.nn.softmax(logits, axis=-1)
+            dice = dice_per_class_jax(probs, label_oh,
+                                      region_mask=region[..., None])
+            ok = (~jnp.isnan(dice)) & sample_valid[:, None]
+            dice_sum = jnp.sum(jnp.where(ok, dice, 0.0), axis=0)
+            dice_cnt = jnp.sum(ok.astype(jnp.float32), axis=0)
+            n_real = jnp.sum(sample_valid.astype(jnp.float32))
+
+            acc = carry
+            acc = {
+                "loss_sum": acc["loss_sum"] + loss * n_real,
+                "n_sum": acc["n_sum"] + n_real,
+                "dice_sum": acc["dice_sum"] + dice_sum,
+                "dice_cnt": acc["dice_cnt"] + dice_cnt,
+            }
+            return acc, None
+
+        init = {
+            "loss_sum": jnp.zeros(()),
+            "n_sum": jnp.zeros(()),
+            "dice_sum": jnp.zeros((num_classes,)),
+            "dice_cnt": jnp.zeros((num_classes,)),
+        }
+        acc, _ = jax.lax.scan(body, init, (idx_blocks, valid_blocks))
+        return acc
+
+    return jax.jit(eval_all)
+
+
 # ---------------------------------------------------------------------------
 # Upper-bound (fully-supervised) steps — reference: upper_bound_chaos.py
 # ---------------------------------------------------------------------------
