@@ -229,7 +229,7 @@ def strong_augment_sample(image, partner, key, p: StrongAugParams):
     variant (the reference mixes with a random dataset file,
     augmentations.py:51-81; on device we mix with a batch peer).
     """
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
     img = image
 
     # Brightness (augmentations.py:98-111)
@@ -278,9 +278,11 @@ def strong_augment_sample(image, partner, key, p: StrongAugParams):
         # Simulate low resolution by snapping sample coordinates to a coarse
         # grid (nearest-downsample) and bilinearly reading the fine image —
         # the static-shape equivalent of resize-down(order 0)/up(order 3)
-        # (augmentations.py:168-189).
-        do_l = _bern(keys[7], p.p_lowres)
-        s = _uniform(keys[8], *p.lowres_scale_range)
+        # (augmentations.py:168-189).  Keys 11/12 are distinct from the blur
+        # branch's 7/8 so blur and lowres gates stay independent when a
+        # custom preset enables both.
+        do_l = _bern(keys[11], p.p_lowres)
+        s = _uniform(keys[12], *p.lowres_scale_range)
         hh, ww = img.shape
         oy = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 0)
         ox = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 1)

@@ -56,7 +56,7 @@ def main(argv=None):
 
     # fold/checkpoint alignment (inference.py:269)
     assert f"fold{args.fold}" in args.checkpoint_file, (
-        "checkpoint path must contain fold{args.fold}")
+        f"checkpoint path must contain fold{args.fold}")
 
     from pacingpseudo_tpu.train.checkpoint import resolve_checkpoint_path
     ckpt_path = args.checkpoint_file

@@ -22,6 +22,19 @@ import numpy as np
 from pacingpseudo_tpu.config import DATASETS, ExperimentConfig
 
 
+def _str2bool(v: str) -> bool:
+    """Real boolean parsing for flags the reference declared ``type=bool``
+    (train_chaos.py:74, upper_bound_chaos.py:81 — where ``--loss_dice False``
+    silently parsed as True).  Accepts ``--flag``, ``--flag True``,
+    ``--flag False`` (and 0/1/yes/no), so reference argv keeps working while
+    the False spelling now actually disables the flag."""
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="pacingpseudo_tpu trainer")
     # Session (train_chaos.py:26-41)
@@ -51,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_stride", type=int, default=8, choices=[32, 16, 8])
     p.add_argument("--is_stride_conv", action="store_true", default=False)
     p.add_argument("--is_trans_conv", action="store_true", default=False)
-    p.add_argument("--elab_end_points", type=bool, default=True)
+    p.add_argument("--elab_end_points", type=_str2bool, nargs="?",
+                   const=True, default=True)
     # Optimizer (train_chaos.py:87-112)
     p.add_argument("--ignored_index", type=int, default=None)
     p.add_argument("--epoch", type=int, default=None,
@@ -68,11 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
     # Entropy minimisation (train_chaos.py:116-126)
     p.add_argument("--do_loss_ent", action="store_true", default=False)
     p.add_argument("--loss_ent_weight", type=float, default=1.0)
-    p.add_argument("--ramp_up_loss_ent", action="store_true", default=True)
+    # The reference declares these ``store_true`` with ``default=True``
+    # (train_chaos.py:122,134) so the ramps could never be disabled;
+    # BooleanOptionalAction keeps the enabling spelling argv-compatible and
+    # adds a working ``--no-...`` disable (PARITY.md quirk entry).
+    p.add_argument("--ramp_up_loss_ent", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--ramp_up_scale", type=float, default=8.0)
     # Consistency (train_chaos.py:129-145)
     p.add_argument("--do_decoder_consistency", action="store_true", default=False)
-    p.add_argument("--ramp_up_loss_cr", action="store_true", default=True)
+    p.add_argument("--ramp_up_loss_cr", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--detach_weak_cr", action="store_true", default=False)
     p.add_argument("--loss_cr_variants", type=str, default="ce_loss",
                    choices=["ce_loss", "l1_loss", "l2_loss", "kl_loss"])
@@ -92,7 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ensemble_mode", type=str, default="cosine_similarity",
                    choices=["cosine_similarity", "mean"])
     # Upper bound (upper_bound_chaos.py:81)
-    p.add_argument("--loss_dice", type=bool, default=True)
+    p.add_argument("--loss_dice", type=_str2bool, nargs="?",
+                   const=True, default=True)
     # TPU-native extensions
     p.add_argument("--data_root", type=str, default="./data")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -102,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["all", "first"])
     p.add_argument("--ref_quirk_bn_eval_after_first_epoch", action="store_true",
                    default=False)
+    p.add_argument("--reference_parity", action="store_true", default=False,
+                   help="pin every parity-sensitive knob to the reference's "
+                        "actual training dynamics: float32 compute, unfused "
+                        "streams (per-stream BN stats), memory_update_mode="
+                        "first, and the BN-eval-after-first-epoch quirk")
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--device_resident_data", type=str, default="auto",
@@ -124,6 +150,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> ExperimentConfig:
     spec = DATASETS[args.dataset]
+    if getattr(args, "reference_parity", False):
+        args.compute_dtype = "float32"
+        args.no_fuse_streams = True
+        args.memory_update_mode = "first"
+        args.ref_quirk_bn_eval_after_first_epoch = True
     return ExperimentConfig(
         seed=args.seed,
         dataset=args.dataset,

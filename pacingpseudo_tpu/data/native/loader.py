@@ -37,9 +37,11 @@ def _load_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO):
-        if not _build():
-            return None
+    _CPP = os.path.join(_DIR, "npz_loader.cpp")
+    stale = (not os.path.exists(_SO)
+             or os.path.getmtime(_SO) < os.path.getmtime(_CPP))
+    if stale and not _build() and not os.path.exists(_SO):
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

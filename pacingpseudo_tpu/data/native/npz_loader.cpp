@@ -66,6 +66,9 @@ bool find_members(const std::vector<uint8_t>& buf,
     uint16_t extra_len = rd16(&buf[p + 30]);
     uint16_t comment_len = rd16(&buf[p + 32]);
     uint32_t lho = rd32(&buf[p + 42]);
+    if (p + 46 + name_len > buf.size()) {
+      *err = "central directory name overrun"; return false;
+    }
     std::string name((const char*)&buf[p + 46], name_len);
 
     Member* m = nullptr;
@@ -80,6 +83,9 @@ bool find_members(const std::vector<uint8_t>& buf,
       uint16_t lnl = rd16(&buf[lho + 26]);
       uint16_t lel = rd16(&buf[lho + 28]);
       m->offset = lho + 30 + lnl + lel;
+      if (m->offset + (size_t)comp > buf.size()) {
+        *err = "member payload overrun"; return false;
+      }
       m->comp_size = comp;
       m->uncomp_size = uncomp;
       m->method = method;
@@ -96,8 +102,9 @@ bool find_members(const std::vector<uint8_t>& buf,
 bool inflate_member(const std::vector<uint8_t>& buf, const Member& m,
                     std::vector<uint8_t>& out, std::string* err) {
   out.resize(m.uncomp_size);
+  if (m.offset + m.comp_size > buf.size()) { *err = "payload overrun"; return false; }
   if (m.method == 0) {
-    if (m.offset + m.comp_size > buf.size()) { *err = "stored overrun"; return false; }
+    if (m.comp_size != m.uncomp_size) { *err = "stored size mismatch"; return false; }
     std::memcpy(out.data(), &buf[m.offset], m.comp_size);
     return true;
   }
@@ -132,16 +139,21 @@ bool parse_npy(const std::vector<uint8_t>& npy, std::string* descr,
     size_t k = hdr.find(key);
     if (k == std::string::npos) return "";
     size_t c = hdr.find(':', k);
-    return hdr.substr(c + 1, hdr.find(',', c) - c - 1);
+    if (c == std::string::npos) return "";
+    size_t e = hdr.find(',', c);
+    if (e == std::string::npos) e = hdr.size();
+    return hdr.substr(c + 1, e - c - 1);
   };
   std::string d = get_field("'descr'");
   size_t q0 = d.find('\'');
-  size_t q1 = d.find('\'', q0 + 1);
+  size_t q1 = q0 == std::string::npos ? std::string::npos : d.find('\'', q0 + 1);
+  if (q1 == std::string::npos) { *err = "npy descr parse"; return false; }
   *descr = d.substr(q0 + 1, q1 - q0 - 1);
 
   size_t sp = hdr.find("'shape'");
-  size_t p0 = hdr.find('(', sp);
-  size_t p1 = hdr.find(')', p0);
+  size_t p0 = sp == std::string::npos ? std::string::npos : hdr.find('(', sp);
+  size_t p1 = p0 == std::string::npos ? std::string::npos : hdr.find(')', p0);
+  if (p1 == std::string::npos) { *err = "npy shape parse"; return false; }
   std::string shape = hdr.substr(p0 + 1, p1 - p0 - 1);
   long dims[2] = {1, 1};
   int nd = 0;
@@ -232,7 +244,10 @@ bool load_one(const char* path, long canvas, float img_pad, float lab_pad,
     float* dst = outs[t];
     for (long i = 0; i < canvas * canvas; ++i) dst[i] = pads[t];
     std::vector<float> row(w);
-    size_t esize = raw.size() >= off ? (size_t)(raw.size() - off) / (h * w) : 0;
+    size_t esize = raw.size() >= off ? (size_t)(raw.size() - off) / ((size_t)h * w) : 0;
+    if (esize == 0 || off + (size_t)h * w * esize > raw.size()) {
+      *err = "npy payload truncated"; return false;
+    }
     for (long r = 0; r < h; ++r) {
       if (!cast_to_f32(&raw[off + (size_t)r * w * esize], descr, w, row.data(), err))
         return false;

@@ -98,6 +98,7 @@ class BatchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.num_threads = num_threads
         self.prefetch = prefetch
@@ -116,6 +117,13 @@ class BatchLoader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to ``(seed, epoch)`` so crash+resume at
+        epoch k reproduces the uninterrupted run's batch stream (the
+        reference's persistent-RNG loaders cannot; SURVEY.md §5
+        checkpoint/resume)."""
+        self.rng = np.random.RandomState([self.seed, epoch])
 
     def _collate(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
         if self._native:

@@ -3,4 +3,6 @@ from .mesh import (
     shard_batch,
     replicate,
     batch_sharding,
+    stage_resident_pool,
+    make_resident_gather,
 )

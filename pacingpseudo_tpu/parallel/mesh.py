@@ -57,6 +57,83 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Optional[Mesh],
     return out
 
 
+def _mesh_size(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else int(np.prod(mesh.devices.shape))
+
+
+def stage_resident_pool(arrays: Dict[str, np.ndarray], mesh: Optional[Mesh]
+                        ) -> Dict[str, jax.Array]:
+    """Device-put a resident data pool, sharded on the slice axis.
+
+    Single device: plain ``device_put`` (HBM-resident, replica of round 1's
+    behaviour).  Multi-device: each array (N, ...) is padded to a multiple
+    of the mesh size by repeating the final slice (the padding rows are
+    never indexed — shuffle indices stay < N) and sharded ``P('data')`` on
+    axis 0, so each chip holds ~N/n_dev slices and the whole pool scales
+    with the slice count.
+    """
+    n_dev = _mesh_size(mesh)
+    if n_dev == 1:
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+    out = {}
+    for k, v in arrays.items():
+        n = v.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+        out[k] = jax.device_put(
+            v, NamedSharding(mesh, P(*(["data"] + [None] * (v.ndim - 1)))))
+    return out
+
+
+def make_resident_gather(mesh: Optional[Mesh]):
+    """Build ``gather(pool, idx) -> batch`` over a (possibly sharded) pool.
+
+    Multi-device pools are sharded on axis 0 (:func:`stage_resident_pool`);
+    the gather uses the sharded-table-lookup pattern: every device resolves
+    the requested GLOBAL indices against its local shard, zero-masks the
+    misses, and one ``psum_scatter`` over ``data`` sums the partial batches
+    while leaving each device exactly its batch shard.  Global shuffle
+    semantics are therefore IDENTICAL to the single-device pool (no
+    per-shard sampling restriction), and the collective moves one batch —
+    not the pool — over ICI.
+
+    ``idx`` must be replicated with length divisible by the mesh size.
+    """
+    import jax.numpy as jnp
+
+    n_dev = _mesh_size(mesh)
+    if n_dev == 1:
+        return lambda pool, idx: {k: jnp.take(v, idx, axis=0)
+                                  for k, v in pool.items()}
+
+    def _local(pool_l, idx):
+        d = jax.lax.axis_index("data")
+        out = {}
+        for k, v in pool_l.items():
+            local_n = v.shape[0]                      # shard size N_pad/n_dev
+            loc = idx - d * local_n
+            hit = (loc >= 0) & (loc < local_n)
+            got = jnp.take(v, jnp.clip(loc, 0, local_n - 1), axis=0)
+            mask = hit.reshape((-1,) + (1,) * (got.ndim - 1))
+            # f16 is exact for every pool payload (u8 labels, int sizes
+            # < 2048, f16 images); collectives stay half-width.
+            got = jnp.where(mask, got, 0).astype(jnp.float16)
+            got = jax.lax.psum_scatter(got, "data", scatter_dimension=0,
+                                       tiled=True)
+            out[k] = got.astype(v.dtype)
+        return out
+
+    from jax.experimental.shard_map import shard_map
+
+    def gather(pool, idx):
+        return shard_map(_local, mesh,
+                         in_specs=(P("data"), P()),
+                         out_specs=P("data"))(pool, idx)
+
+    return gather
+
+
 def replicate(tree, mesh: Optional[Mesh]):
     """Replicate a pytree (train state) across the mesh."""
     if mesh is None or np.prod(mesh.devices.shape) == 1:

@@ -36,7 +36,12 @@ from pacingpseudo_tpu.aug.presets import base_params_for, strong_params_for
 from pacingpseudo_tpu.config import ExperimentConfig
 from pacingpseudo_tpu.data import BatchLoader, SliceDataset, read_fold_split
 from pacingpseudo_tpu.models import PacingPseudoModel
-from pacingpseudo_tpu.parallel import data_mesh, replicate, shard_batch
+from pacingpseudo_tpu.parallel import (
+    data_mesh,
+    replicate,
+    shard_batch,
+    stage_resident_pool,
+)
 from pacingpseudo_tpu.train import checkpoint as ckpt_lib
 from pacingpseudo_tpu.train.optim import make_optimizer
 from pacingpseudo_tpu.train.state import create_train_state
@@ -289,22 +294,22 @@ def train_driver(config: ExperimentConfig, data_root: str,
     # Device-resident data: stage every training canvas in HBM once and
     # send only per-step index blocks (step.py make_resident_chunked_...).
     pool_bytes = len(train_ds) * train_ds.canvas_size ** 2 * 4  # f16+u8+u8
+    # Sharded over the data mesh the per-chip footprint is pool/n_dev, so
+    # the budget scales with the mesh (round 1 gated this to n_dev==1).
     use_resident = (config.device_resident_data == "on"
                     or (config.device_resident_data == "auto"
-                        and n_dev == 1
-                        and pool_bytes < 6 * 2 ** 30))
+                        and pool_bytes < n_dev * 6 * 2 ** 30))
     resident_pool = None
     if use_resident:
-        logging.info("staging %d slices (%.2f GB) in device memory",
-                     len(train_ds), pool_bytes / 2 ** 30)
+        logging.info("staging %d slices (%.2f GB, /%d chips) in device memory",
+                     len(train_ds), pool_bytes / 2 ** 30, n_dev)
         stage_loader = BatchLoader(train_ds, batch_size=256, shuffle=False,
                                    drop_last=False)
         parts = [_shrink_raw({k: v for k, v in b.items() if k != "uid"})
                  for b in stage_loader]
-        resident_pool = {
-            k: jax.device_put(np.concatenate([p[k] for p in parts]))
-            for k in parts[0]
-        }
+        resident_pool = stage_resident_pool(
+            {k: np.concatenate([p[k] for p in parts]) for k in parts[0]},
+            mesh)
         del parts
 
     # Resident validation: stage the val pool + static index blocks so the
@@ -315,10 +320,9 @@ def train_driver(config: ExperimentConfig, data_root: str,
                              drop_last=False)
         parts = [_shrink_raw({k: v for k, v in b.items() if k != "uid"})
                  for b in vstage]
-        val_pool = {
-            k: jax.device_put(np.concatenate([p[k] for p in parts]))
-            for k in parts[0]
-        }
+        val_pool = stage_resident_pool(
+            {k: np.concatenate([p[k] for p in parts]) for k in parts[0]},
+            mesh)
         del parts
         n_val = len(val_ds)
         n_blocks = (n_val + config.batch_size - 1) // config.batch_size
@@ -328,7 +332,8 @@ def train_driver(config: ExperimentConfig, data_root: str,
         val_idx_blocks = jnp.asarray(
             np.minimum(idx, n_val - 1).reshape(n_blocks, config.batch_size),
             jnp.int32)
-        resident_eval = make_resident_eval_fn(config, model, upper_bound)
+        resident_eval = make_resident_eval_fn(config, model, upper_bound,
+                                              mesh=mesh if n_dev > 1 else None)
 
     rem = steps_per_epoch % chunk
 
@@ -338,8 +343,10 @@ def train_driver(config: ExperimentConfig, data_root: str,
                           jit=False)
         single = jax.jit(body, donate_argnums=(0,))
         if use_resident:
-            chunked = make_resident_chunked_train_step(body, chunk)
-            chunked_rem = (make_resident_chunked_train_step(body, rem)
+            rmesh = mesh if n_dev > 1 else None
+            chunked = make_resident_chunked_train_step(body, chunk, mesh=rmesh)
+            chunked_rem = (make_resident_chunked_train_step(body, rem,
+                                                            mesh=rmesh)
                            if rem else None)
         else:
             chunked = (make_chunked_train_step(body, chunk)
@@ -352,7 +359,6 @@ def train_driver(config: ExperimentConfig, data_root: str,
     if config.ref_quirk_bn_eval_after_first_epoch:
         (train_step_frozen, train_chunked_frozen,
          train_chunked_rem_frozen) = _build(False)
-    resident_rng = np.random.RandomState(config.seed + 2)
 
     tb = _tb_writer(run_dir)
     valdice = np.zeros(config.epoch)
@@ -364,6 +370,13 @@ def train_driver(config: ExperimentConfig, data_root: str,
             n = min(len(old_vd), start_epoch, config.epoch)
             valdice[:n] = old_vd[:n]
     best_avg, best_epoch = 0.0, 0
+    if start_epoch > 0:
+        # restore the best tracker so a resumed run cannot overwrite
+        # best_ckp with a worse epoch
+        hist = valdice[:start_epoch]
+        if hist.size and hist.max() > 0:
+            best_epoch = int(hist.argmax())
+            best_avg = float(hist.max())
     data_rng = jax.random.PRNGKey(config.seed + 1)
 
     profiled = False
@@ -390,8 +403,10 @@ def train_driver(config: ExperimentConfig, data_root: str,
         if use_resident:
             # Shuffle slice indices on host; ship only (chunk, batch) int32
             # blocks — batches are gathered from the HBM pool on device.
+            # The order is a pure function of (seed, epoch) so resume at
+            # epoch k replays the uninterrupted run's shuffle exactly.
             order = np.arange(len(train_ds))
-            resident_rng.shuffle(order)
+            np.random.RandomState([config.seed + 2, epoch]).shuffle(order)
             order = order[:steps_per_epoch * config.batch_size]
             blocks = order.reshape(steps_per_epoch, config.batch_size)
             pos = 0
@@ -426,6 +441,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
             pending = []
 
         if not use_resident:
+            train_loader.set_epoch(epoch)
             for raw in train_loader:
                 if n_steps + len(pending) >= steps_per_epoch:
                     break
@@ -441,7 +457,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
         slices_per_sec = n_steps * config.batch_size / max(toc - tic, 1e-9)
         logging.info(
             "epoch: %03d, lr: %.6f, %s, %.2f s/epoch, %.1f slices/s",
-            epoch, means.get("lr", 0.0) * n_steps / n_steps if "lr" in means else 0.0,
+            epoch, means.get("lr", 0.0),
             ", ".join(f"{k}: {v:.6f}" for k, v in means.items() if k != "lr"),
             toc - tic, slices_per_sec)
         if tb:
@@ -489,8 +505,10 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 proc = eval_preprocess_batch(
                     {k: jnp.asarray(v) for k, v in raw.items()},
                     config.num_classes)
-                proc = shard_batch({k: np.asarray(v) for k, v in proc.items()},
-                                   mesh)
+                proc = {k: np.asarray(v) for k, v in proc.items()}
+                # mask pad-duplicate samples out of the logged val loss
+                proc["sample_valid"] = np.arange(config.batch_size) < n_real
+                proc = shard_batch(proc, mesh)
                 # one forward per batch: loss + region-masked Dice + logits
                 if upper_bound:
                     loss_val, _, dice, logits = eval_step(state, proc)

@@ -257,7 +257,7 @@ def make_chunked_train_step(step_body: Callable, chunk: int):
     return jax.jit(chunked, donate_argnums=(0,))
 
 
-def make_resident_chunked_train_step(step_body, chunk: int):
+def make_resident_chunked_train_step(step_body, chunk: int, mesh=None):
     """Chunked multi-step over a DEVICE-RESIDENT data pool.
 
     For datasets that fit in HBM (CHAOS/ACDC ~1 GB, LVSC ~4.4 GB as
@@ -275,12 +275,19 @@ def make_resident_chunked_train_step(step_body, chunk: int):
       jitted ``(state, pool, idx_block, key) -> (state, summed_metrics)``
       where ``pool`` is the dict of stacked slice canvases (+ ``size``) and
       ``idx_block`` is (chunk, batch) int32.
+
+    At ``mesh`` size > 1 the pool is sharded on the slice axis
+    (parallel.stage_resident_pool) and batches are fetched with the
+    sharded-table gather (parallel.make_resident_gather) — indices stay
+    GLOBAL, so the multi-chip run consumes the identical batch stream.
     """
+    from pacingpseudo_tpu.parallel import make_resident_gather
+    gather = make_resident_gather(mesh)
 
     def chunked(state, pool, idx_block, key):
         def body(st, xs):
             idx, i = xs
-            raw = {k: jnp.take(v, idx, axis=0) for k, v in pool.items()}
+            raw = gather(pool, idx)
             st, metrics = step_body(st, raw, jax.random.fold_in(key, i))
             return st, metrics
 
@@ -297,6 +304,11 @@ def make_pacing_eval_step(config, model):
     Mirrors the reference validation loop (train_chaos.py:369-391): loss_pce
     on scribbles, Dice against **full** labels; Dice stays on device.
     Returns ``(loss_pce, dice (N, C) with NaNs)``.
+
+    When the batch carries ``sample_valid`` (N,) — the streaming loop pads
+    partial batches by repeating the last sample — the padded samples'
+    targets are forced to ``ignored_index`` so they contribute zero pixels
+    to the loss (exactly equivalent to evaluating the unpadded batch).
     """
 
     def eval_step(state: TrainState, batch: Dict[str, Any]):
@@ -304,6 +316,10 @@ def make_pacing_eval_step(config, model):
         outputs = model.apply(variables, batch["image"], None, train=False)
         logits = outputs["segmentation/logits"]
         scb_target = jnp.argmax(batch["scribble"], axis=-1)
+        sample_valid = batch.get("sample_valid")
+        if sample_valid is not None:
+            scb_target = jnp.where(sample_valid[:, None, None], scb_target,
+                                   config.ignored_index)
         loss_pce = partial_cross_entropy_loss(logits, scb_target, config.ignored_index)
         probs = jax.nn.softmax(logits, axis=-1)
         dice = dice_per_class_jax(probs, batch["label"],
@@ -313,7 +329,7 @@ def make_pacing_eval_step(config, model):
     return jax.jit(eval_step)
 
 
-def make_resident_eval_fn(config, model, upper_bound: bool):
+def make_resident_eval_fn(config, model, upper_bound: bool, mesh=None):
     """Whole-validation-set evaluation in ONE jitted dispatch.
 
     Gathers batches from a device-resident val pool by index blocks, runs
@@ -334,13 +350,15 @@ def make_resident_eval_fn(config, model, upper_bound: bool):
       the padding of the last partial batch.
     """
     num_classes = config.num_classes
+    from pacingpseudo_tpu.parallel import make_resident_gather
+    gather = make_resident_gather(mesh)
 
     def eval_all(state, pool, idx_blocks, valid_blocks):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         def body(carry, xs):
             idx, sample_valid = xs
-            raw = {k: jnp.take(v, idx, axis=0) for k, v in pool.items()}
+            raw = gather(pool, idx)
             image = raw["image"].astype(jnp.float32)
             n, s_dim = image.shape[0], image.shape[1]
             row = jax.lax.broadcasted_iota(jnp.int32, (n, s_dim, s_dim), 1)
@@ -359,10 +377,20 @@ def make_resident_eval_fn(config, model, upper_bound: bool):
             label_oh = jax.nn.one_hot(label, num_classes) * region[..., None]
 
             if upper_bound:
+                # Match the reference/streaming convention: the val target is
+                # argmax(one-hot(label)), so canvas padding (ignored rows →
+                # all-zero one-hot) trains/evals as background
+                # (upper_bound_chaos.py:197-198).  Padded DUPLICATE samples
+                # (block padding) are excluded via ignored_index.
+                target = jnp.where(label < num_classes, label, 0)
+                target = jnp.where(sample_valid[:, None, None], target,
+                                   config.ignored_index)
                 loss = partial_cross_entropy_loss(
-                    logits, label, config.ignored_index)
+                    logits, target, config.ignored_index)
             else:
                 scb = raw["scribble"].astype(jnp.int32)
+                scb = jnp.where(sample_valid[:, None, None], scb,
+                                config.ignored_index)
                 loss = partial_cross_entropy_loss(
                     logits, scb, config.ignored_index)
 
@@ -465,6 +493,11 @@ def make_upper_bound_eval_step(config, model):
         outputs = model.apply(variables, batch["image"], None, train=False)
         logits = outputs["segmentation/logits"]
         target = jnp.argmax(batch["label"], axis=-1)
+        sample_valid = batch.get("sample_valid")
+        if sample_valid is not None:
+            # exclude streaming-pad duplicate samples from the CE loss
+            target = jnp.where(sample_valid[:, None, None], target,
+                               config.ignored_index)
         loss_ce = partial_cross_entropy_loss(logits, target, config.ignored_index)
         loss_dice = dice_loss_fn(logits, batch["label"])
         probs = jax.nn.softmax(logits, axis=-1)

@@ -95,8 +95,11 @@ def test_resident_eval_matches_streaming(rng):
         out = model.apply(variables, jnp.asarray(img[..., None]), None,
                           train=False)
         logits = out["segmentation/logits"]
-        loss = float(partial_cross_entropy_loss(
-            logits, jnp.asarray(raw["scribble"].astype(np.int32)), C))
+        # pad-duplicate samples are excluded from the loss (their target is
+        # forced to ignored_index) — mirror that here
+        scb = raw["scribble"].astype(np.int32)
+        scb[~valid[b]] = C
+        loss = float(partial_cross_entropy_loss(logits, jnp.asarray(scb), C))
         n_real = int(valid[b].sum())
         loss_sum += loss * n_real
         n_sum += n_real
@@ -112,3 +115,92 @@ def test_resident_eval_matches_streaming(rng):
     assert float(acc["n_sum"]) == n_sum
     assert np.allclose(np.asarray(acc["dice_sum"]), expect_sum, atol=1e-4)
     assert np.allclose(np.asarray(acc["dice_cnt"]), expect_cnt)
+
+
+def test_sharded_pool_gather_exact(rng):
+    """stage_resident_pool + make_resident_gather over the 8-device mesh
+    reproduce a plain jnp.take with global indices, bit-exactly, including
+    the padded-pool tail never being read."""
+    from pacingpseudo_tpu.parallel import (
+        data_mesh, make_resident_gather, stage_resident_pool)
+    mesh = data_mesh(8)
+    m = 21  # deliberately not divisible by 8
+    pool_np = {
+        "image": rng.randn(m, S, S).astype(np.float16),
+        "label": rng.randint(0, C, (m, S, S)).astype(np.uint8),
+        "scribble": rng.randint(0, C + 1, (m, S, S)).astype(np.uint8),
+        "size": np.tile([S, S], (m, 1)).astype(np.int32),
+    }
+    pool = stage_resident_pool(pool_np, mesh)
+    gather = jax.jit(make_resident_gather(mesh))
+    idx = rng.permutation(m)[:16].astype(np.int32)
+    out = gather(pool, jnp.asarray(idx))
+    for k, v in pool_np.items():
+        got = np.asarray(out[k])
+        assert got.dtype == v.dtype
+        assert np.array_equal(got, v[idx]), k
+
+
+def test_resident_train_multidevice_matches_single(rng):
+    """The full resident chunked train step over a sharded pool on the
+    8-device mesh matches the single-device pool run (same global indices)."""
+    from pacingpseudo_tpu.aug.engine import make_train_augment_fn
+    from pacingpseudo_tpu.aug.params import BaseAugParams, StrongAugParams
+    from pacingpseudo_tpu.parallel import (
+        data_mesh, replicate, stage_resident_pool)
+
+    config, model, tx, state = _setup(rng)
+    pool_np = {k: np.asarray(v) for k, v in _pool(rng, m=9).items()}
+    bp = BaseAugParams(crop_size=(H, H), num_classes=C, ignored_index=C,
+                       elastic_field_downscale=4, elastic_blur_radius=3)
+    aug = make_train_augment_fn(bp, StrongAugParams.color(1.0), True)
+    body = make_pacing_train_step(config, model, tx, steps_per_epoch=4,
+                                  augment_fn=aug, jit=False)
+    idx = jnp.asarray([[0, 3], [5, 1]], jnp.int32)
+    key = jax.random.PRNGKey(4)
+
+    single = make_resident_chunked_train_step(body, 2)
+    st1, m1 = single(state, {k: jnp.asarray(v) for k, v in pool_np.items()},
+                     idx, key)
+
+    # batch axis (N=2) must divide the mesh — use 2 of the 8 CPU devices
+    mesh = data_mesh(2)
+    _, _, _, state8 = _setup(rng)  # fresh state (single run donated its own)
+    state8 = replicate(state8, mesh)
+    pool8 = stage_resident_pool(pool_np, mesh)
+    sharded = make_resident_chunked_train_step(body, 2, mesh=mesh)
+    st8, m8 = sharded(state8, pool8, idx, key)
+
+    assert np.allclose(float(m1["loss_total"]), float(m8["loss_total"]),
+                       rtol=1e-4)
+    # Cross-device reductions (BN stats, grad all-reduce) reorder float32
+    # sums; near init Adam behaves sign-like (v ~ 0), so a tiny gradient
+    # perturbation can flip an element's update by up to 2·lr.  Allow a few
+    # lr=1e-4 steps of per-element jitter after 2 steps (measured max
+    # ~2e-4); the loss above pins the trajectories to ~1e-5 relative.
+    p1 = jax.tree.leaves(st1.params)
+    p8 = jax.tree.leaves(st8.params)
+    for a, b in zip(p1, p8):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4), a.shape
+
+
+def test_resident_eval_multidevice_matches_single(rng):
+    from pacingpseudo_tpu.parallel import (
+        data_mesh, replicate, stage_resident_pool)
+    config, model, tx, state = _setup(rng)
+    pool_np = {k: np.asarray(v) for k, v in _pool(rng, m=5).items()}
+    n_val, n_blocks = 5, 3
+    idx = np.minimum(np.arange(n_blocks * N), n_val - 1).reshape(n_blocks, N)
+    valid = (np.arange(n_blocks * N) < n_val).reshape(n_blocks, N)
+
+    eval1 = make_resident_eval_fn(config, model, upper_bound=False)
+    acc1 = eval1(state, {k: jnp.asarray(v) for k, v in pool_np.items()},
+                 jnp.asarray(idx, jnp.int32), jnp.asarray(valid))
+
+    mesh = data_mesh(2)
+    eval8 = make_resident_eval_fn(config, model, upper_bound=False, mesh=mesh)
+    acc8 = eval8(replicate(state, mesh), stage_resident_pool(pool_np, mesh),
+                 jnp.asarray(idx, jnp.int32), jnp.asarray(valid))
+    for k in acc1:
+        assert np.allclose(np.asarray(acc1[k]), np.asarray(acc8[k]),
+                           rtol=1e-5, atol=1e-5), k
