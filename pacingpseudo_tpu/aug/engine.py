@@ -86,12 +86,27 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
       (augmentations.py:368-419 RandomCrop semantics).
     """
     ch, cw = p.crop_size
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 18)
     image = image.astype(jnp.float32)
     label = label.astype(jnp.float32)
     scribble = scribble.astype(jnp.float32)
-    h = size[0].astype(jnp.float32)
-    w = size[1].astype(jnp.float32)
+    h_raw = size[0].astype(jnp.float32)
+    w_raw = size[1].astype(jnp.float32)
+
+    # ---- Rotation90 (augmentations.py:319-335): composed as the FIRST
+    # forward transform — the k·90°-rotated array (live size swapped for
+    # odd k) is what the rest of the pipeline sees; the rotation itself is
+    # inverted exactly at the end of the coordinate chain (no resampling).
+    if p.p_rot90 > 0:
+        do_r90 = _bern(keys[16], p.p_rot90)
+        choices = jnp.asarray(p.rot90_choices, jnp.int32)
+        pick = jax.random.randint(keys[17], (), 0, len(p.rot90_choices))
+        k90 = jnp.where(do_r90, choices[pick], 0)
+    else:
+        k90 = jnp.int32(0)
+    odd = (k90 % 2) == 1
+    h = jnp.where(odd, w_raw, h_raw)
+    w = jnp.where(odd, h_raw, w_raw)
 
     # ---- MeanStdNorm #1 over the live region (augmentations.py:11-21;
     # the reference normalises the raw loaded slice).
@@ -185,10 +200,23 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     sy = (qy + 0.5) * (h / jnp.maximum(new_h, 1.0)) - 0.5
     sx = (qx + 0.5) * (w / jnp.maximum(new_w, 1.0)) - 0.5
 
+    # invert Rotation90: (sy, sx) in the k·90°-rotated live array (h, w)
+    # -> coordinates in the raw array (h_raw, w_raw).  np.rot90(a, k)
+    # inverses: k=1 → (x, w_raw-1-y swapped), derived per k below.
+    ry = jnp.select(
+        [k90 == 0, k90 == 1, k90 == 2],
+        [sy, sx, h_raw - 1.0 - sy],
+        h_raw - 1.0 - sx)                       # k == 3
+    rx = jnp.select(
+        [k90 == 0, k90 == 1, k90 == 2],
+        [sx, w_raw - 1.0 - sy, w_raw - 1.0 - sx],
+        sy)                                      # k == 3
+    sy, sx = ry, rx
+
     # ---- One fused gather pass for all three tensors (4 shared taps).
     num_vals = p.num_classes + 1
     img_out, lab_out, scb_out = fused_warp_sample(
-        img, label, scribble, sy, sx, num_vals, bound_h=h, bound_w=w)
+        img, label, scribble, sy, sx, num_vals, bound_h=h_raw, bound_w=w_raw)
 
     # rotation padding (image 0 / labels ignored_index, augmentations.py:294-312)
     ign = jnp.int32(p.ignored_index)
@@ -229,7 +257,7 @@ def strong_augment_sample(image, partner, key, p: StrongAugParams):
     variant (the reference mixes with a random dataset file,
     augmentations.py:51-81; on device we mix with a batch peer).
     """
-    keys = jax.random.split(key, 13)
+    keys = jax.random.split(key, 16)
     img = image
 
     # Brightness (augmentations.py:98-111)
@@ -290,6 +318,20 @@ def strong_augment_sample(image, partner, key, p: StrongAugParams):
         cx = jnp.round(jnp.floor(ox / s) * s + (s - 1.0) / 2.0)
         low = bilinear_sample(img, cy, cx)
         img = jnp.where(do_l, low, img)
+
+    if p.p_cutout > 0:
+        # Cutout (augmentations.py:23-49): zero a length×length box whose
+        # centre is uniform over the canvas; the box clips at the borders.
+        do_cut = _bern(keys[13], p.p_cutout)
+        hh, ww = img.shape
+        cy0 = jax.random.randint(keys[14], (), 0, hh)
+        cx0 = jax.random.randint(keys[15], (), 0, ww)
+        half = p.cutout_length // 2
+        ry = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+        rx = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+        in_box = ((ry >= cy0 - half) & (ry < cy0 + half) &
+                  (rx >= cx0 - half) & (rx < cx0 + half))
+        img = jnp.where(do_cut & in_box, 0.0, img)
 
     return img
 

@@ -53,6 +53,13 @@ class BaseAugParams:
     p_noise: float = 0.15
     noise_scale_range: Tuple[float, float] = (0.0, 0.1)
 
+    # Rotation90 (augmentations.py:319-335).  Part of the reference's
+    # transform library but used by none of its shipped configs — default
+    # off to match; composes into the same fused inverse map (exact k·90°
+    # label permutation, no resampling blur).
+    p_rot90: float = 0.0
+    rot90_choices: Tuple[int, ...] = (1, 2, 3)
+
 
 @dataclasses.dataclass(frozen=True)
 class StrongAugParams:
@@ -85,6 +92,12 @@ class StrongAugParams:
 
     p_lowres: float = 0.0                    # ColorLow: 0.8, scale U(1.5, 2)
     lowres_scale_range: Tuple[float, float] = (1.5, 2.0)
+
+    # Cutout (augmentations.py:23-49): zero a length×length box at a
+    # uniform centre, clipped to the canvas.  Library surface only — no
+    # shipped reference config enables it (default p=0.2 there).
+    p_cutout: float = 0.0
+    cutout_length: int = 32
 
     @staticmethod
     def color(strength: float = 1.0, **extra) -> "StrongAugParams":

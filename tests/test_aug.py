@@ -265,3 +265,67 @@ def test_presets_cover_all_datasets_and_variants():
         assert sp.brightness_range == (-0.4, 0.4)
     with pytest.raises(ValueError):
         strong_params_for("Bogus")
+
+
+def test_rotation90_exact_label_permutation(rng):
+    """Rotation90 (augmentations.py:319-335): with p=1 and a single choice k,
+    the output is EXACTLY np.rot90(raw, k) — labels permuted with no
+    resampling blur, image equal to norm(rot90(raw))."""
+    for k in (1, 2, 3):
+        img, lab, scb, size = _sample(rng)
+        p = _params(p_rot90=1.0, rot90_choices=(k,))
+        out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(7), p)
+        raw_img = np.asarray(img)[:CH, :CW]
+        raw_lab = np.asarray(lab)[:CH, :CW]
+        raw_scb = np.asarray(scb)[:CH, :CW]
+        assert np.array_equal(np.asarray(out["label"]), np.rot90(raw_lab, k)), k
+        assert np.array_equal(np.asarray(out["scribble"]), np.rot90(raw_scb, k)), k
+        assert np.allclose(np.asarray(out["image"]),
+                           _norm(np.rot90(raw_img, k)), atol=1e-4), k
+
+
+def test_rotation90_gate_off_is_identity(rng):
+    img, lab, scb, size = _sample(rng)
+    p = _params(p_rot90=0.0)
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(1), p)
+    assert np.array_equal(np.asarray(out["label"]), np.asarray(lab)[:CH, :CW])
+
+
+def test_rotation90_rect_source_swaps_extent(rng):
+    """Odd k on a rectangular live region swaps the live extent, so the
+    (32, 20) content becomes (20, 32) in the crop with ignore padding."""
+    img, lab, scb, size = _sample(rng, h=32, w=20)
+    p = _params(p_rot90=1.0, rot90_choices=(1,))
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(2), p)
+    lab_out = np.asarray(out["label"])
+    expect = np.rot90(np.asarray(lab)[:32, :20], 1)       # (20, 32)
+    # the (20, 32) content embeds at a random offset — locate it
+    live = lab_out != IGN
+    ys, xs = np.where(live)
+    assert ys.max() - ys.min() + 1 == 20 and xs.max() - xs.min() + 1 == 32
+    assert np.array_equal(lab_out[ys.min():ys.min() + 20,
+                                  xs.min():xs.min() + 32], expect)
+
+
+def test_cutout_zeroes_box_and_respects_gate(rng):
+    """Cutout (augmentations.py:23-49): p=1 zeroes one length×length box
+    (clipped at borders) and leaves every other pixel untouched; p=0 is the
+    identity."""
+    img = jnp.asarray(rng.randn(CH, CW).astype(np.float32)) + 5.0  # no zeros
+    p_on = StrongAugParams(p_brightness=0.0, p_contrast=0.0, p_gamma=0.0,
+                           p_cutout=1.0, cutout_length=10)
+    out = np.asarray(strong_augment_sample(img, img, jax.random.PRNGKey(3), p_on))
+    zero = out == 0.0
+    ys, xs = np.where(zero)
+    assert zero.any()
+    # the zero set is one solid axis-aligned rectangle with sides <= length
+    assert ys.max() - ys.min() < 10 and xs.max() - xs.min() < 10
+    box = zero[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+    assert box.all()
+    untouched = ~zero
+    assert np.array_equal(out[untouched], np.asarray(img)[untouched])
+
+    p_off = StrongAugParams(p_brightness=0.0, p_contrast=0.0, p_gamma=0.0,
+                            p_cutout=0.0)
+    out_off = np.asarray(strong_augment_sample(img, img, jax.random.PRNGKey(3), p_off))
+    assert np.array_equal(out_off, np.asarray(img))
