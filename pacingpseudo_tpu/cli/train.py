@@ -106,6 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hid_ch", type=int, default=64)
     p.add_argument("--aux_drop_prob", type=float, default=0.0)
     # Memory bank (train_chaos.py:169-179)
+    p.add_argument("--aux_on_strong", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="reference behaviour (default): aux path + memory "
+                        "bank read the strong stream's encoder features when "
+                        "the consistency branch runs (the torch UNet's "
+                        "shared end_points dict is clobbered by the second "
+                        "forward, unet.py:23); --no-aux_on_strong feeds them "
+                        "the weak stream instead")
     p.add_argument("--do_memory", action="store_true", default=False)
     p.add_argument("--loss_memory_weight", type=float, default=1.0)
     p.add_argument("--update_momentum", type=float, default=0.9)
@@ -192,6 +200,7 @@ def config_from_args(args) -> ExperimentConfig:
         loss_cr_variants=args.loss_cr_variants,
         loss_cr_weight=args.loss_cr_weight,
         do_aux_path=args.do_aux_path,
+        aux_on_strong=args.aux_on_strong,
         feat_stage=tuple(args.feat_stage),
         loss_aux_weight=args.loss_aux_weight,
         hid_ch=args.hid_ch,

@@ -122,6 +122,12 @@ class ExperimentConfig:
     loss_aux_weight: float = 0.01
     hid_ch: int = 64
     aux_drop_prob: float = 0.0
+    # True (default, reference behaviour): the aux path + memory bank read
+    # the STRONG stream's encoder features whenever the consistency branch
+    # runs — the torch UNet's shared end_points dict (unet.py:23) is
+    # overwritten in place by the second (strong) forward before the aux
+    # path consumes it (consistency_reglur_memory.py:48,74).
+    aux_on_strong: bool = True
 
     # Memory bank (train_chaos.py:169-179)
     do_memory: bool = False

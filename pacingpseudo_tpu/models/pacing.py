@@ -53,6 +53,14 @@ class PacingPseudoModel(nn.Module):
     feat_stage: Sequence[str] = ("encoder/stage6", "encoder/stage5")
     hid_ch: int = 64
     aux_drop_prob: float = 0.0
+    # Reference aliasing quirk: the torch UNet stores end_points in ONE
+    # shared instance dict (unet.py:23), so the strong forward overwrites
+    # the weak end_points in place and the aux path + memory bank actually
+    # consume the STRONG stream's encoder features whenever the consistency
+    # branch runs (consistency_reglur_memory.py:48,74).  True (default)
+    # reproduces that — the behaviour behind the published numbers; False
+    # feeds the aux path the weak stream's features.
+    aux_on_strong: bool = True
     # TPU knobs
     fuse_streams: bool = True
     dtype: Dtype = jnp.float32
@@ -97,30 +105,32 @@ class PacingPseudoModel(nn.Module):
         n, h, w, _ = image.shape
         outputs = {}
 
+        use_strong_aux = self.aux_on_strong and image_strong is not None
         if image_strong is not None and self.fuse_streams:
             both = jnp.concatenate([image, image_strong], axis=0)
             end_points = self.backbone(both, train=module_train)
             logits = end_points["segmentation/logits"]
             outputs["segmentation/logits"] = logits[:n]
             outputs["segmentation/logits_strong"] = logits[n:]
-            # Aux path consumes the WEAK stream's encoder features only
-            # (reference: consistency_reglur_memory.py:74 passes the weak
-            # end_points).
-            weak_end_points = {
-                s: end_points[s][:n] for s in self.feat_stage
+            # Which stream feeds the aux path: see ``aux_on_strong``.
+            sl = slice(n, None) if use_strong_aux else slice(None, n)
+            aux_end_points = {
+                s: end_points[s][sl] for s in self.feat_stage
             } if self.do_aux_path else None
         else:
             end_points = self.backbone(image, train=module_train)
             outputs["segmentation/logits"] = end_points["segmentation/logits"]
+            aux_end_points = end_points if self.do_aux_path else None
             if image_strong is not None:
                 end_points_strong = self.backbone(image_strong, train=module_train)
                 outputs["segmentation/logits_strong"] = (
                     end_points_strong["segmentation/logits"])
-            weak_end_points = end_points if self.do_aux_path else None
+                if self.do_aux_path and use_strong_aux:
+                    aux_end_points = end_points_strong
 
         if self.do_aux_path and train:
             aux_features, logits_aux = self.aux_path(
-                weak_end_points, (h, w), train=module_train)
+                aux_end_points, (h, w), train=module_train)
             outputs["aux/features"] = aux_features
             outputs["aux/logits"] = logits_aux
 

@@ -144,6 +144,7 @@ def _build_model(config: ExperimentConfig, siamese: bool) -> PacingPseudoModel:
         feat_stage=tuple(config.feat_stage),
         hid_ch=config.hid_ch,
         aux_drop_prob=config.aux_drop_prob,
+        aux_on_strong=config.aux_on_strong,
         fuse_streams=config.fuse_streams,
         dtype=dtype,
     )
