@@ -124,10 +124,12 @@ def make_resident_gather(mesh: Optional[Mesh]):
             out[k] = got.astype(v.dtype)
         return out
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def gather(pool, idx):
-        return shard_map(_local, mesh,
+        return shard_map(_local, mesh=mesh,
                          in_specs=(P("data"), P()),
                          out_specs=P("data"))(pool, idx)
 

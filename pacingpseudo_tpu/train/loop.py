@@ -211,8 +211,14 @@ class ValState:
 
 def train_driver(config: ExperimentConfig, data_root: str,
                  run_dir: Optional[str] = None,
-                 max_steps_per_epoch: Optional[int] = None) -> str:
-    """Run a full training session; returns the run directory."""
+                 max_steps_per_epoch: Optional[int] = None,
+                 stop_after_epoch: Optional[int] = None) -> str:
+    """Run a full training session; returns the run directory.
+
+    ``stop_after_epoch=k`` exits cleanly after completing epoch ``k``
+    (schedules still span ``config.epoch``) — a crash-at-epoch-k simulator
+    for resume-equivalence tests.
+    """
     config.validate()
     upper_bound = config.session == "Upperbound"
     siamese = not upper_bound
@@ -565,6 +571,13 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 best_epoch, best_avg = epoch, avg_all
                 ckpt_lib.save_checkpoint(
                     os.path.join(run_dir, "best_ckp"), host_state)
+
+        if stop_after_epoch is not None and epoch >= stop_after_epoch:
+            host_state = jax.tree.map(np.asarray, jax.device_get(state))
+            ckpt_lib.save_checkpoint(
+                os.path.join(run_dir, "ckps", f"ckp_{epoch}"), host_state)
+            logging.info("stop_after_epoch=%d: exiting", stop_after_epoch)
+            break
 
     logging.info("The best at epoch: %d, All: %.4f", best_epoch, best_avg)
     np.savez(os.path.join(run_dir, "valdice"), valdice=valdice)

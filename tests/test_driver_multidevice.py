@@ -1,0 +1,100 @@
+"""Epoch-level train_driver runs on the virtual CPU mesh + resume fidelity.
+
+VERDICT round-1 items 3b and 8: prior multi-chip evidence was single-step;
+these tests drive the FULL driver (epoch loop, chunked dispatch, eval path,
+checkpointing) at n_dev > 1 on both data paths and assert metric agreement
+with the single-device run, and prove crash+resume reproduces the
+uninterrupted trajectory.
+"""
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from pacingpseudo_tpu.config import DATASETS, ExperimentConfig
+from pacingpseudo_tpu.data.synthetic import write_synthetic_dataset
+from pacingpseudo_tpu.train.loop import train_driver
+
+EP, N, HW, INIT = 2, 4, 32, 8
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mdd"))
+    spec = DATASETS["acdc"]
+    write_synthetic_dataset(root, "acdc", 20, (HW, HW), spec.num_classes,
+                            spec.ignored_index, seed=5)
+    return root
+
+
+def _config(**kw):
+    base = dict(
+        seed=3, dataset="acdc", session="Experiment", tag="md", fold=0,
+        num_classes=DATASETS["acdc"].num_classes,
+        ignored_index=DATASETS["acdc"].ignored_index,
+        do_loss_ent=True, do_decoder_consistency=True, do_aux_path=True,
+        do_memory=True, batch_size=N, epoch=EP, init_ch=INIT,
+        input_size=(HW, HW), compute_dtype="float32",
+        steps_per_dispatch=2, ckp_interval=100, tb_figures=False,
+        use_pallas_loss="off",
+    )
+    base.update(kw)
+    return ExperimentConfig(**base).validate()
+
+
+def _val_losses(run_dir):
+    out = []
+    for line in open(os.path.join(run_dir, "log.txt")):
+        if "val: " in line and "loss: " in line:
+            out.append(float(line.split("loss: ")[1].split(",")[0]))
+    return np.asarray(out)
+
+
+def _train(cfg, data_root, tmp_path, name, **kw):
+    run_dir = str(tmp_path / name)
+    os.makedirs(os.path.join(run_dir, "ckps"), exist_ok=True)
+    train_driver(cfg, data_root, run_dir=run_dir, **kw)
+    return (np.load(os.path.join(run_dir, "valdice.npz"))["valdice"],
+            _val_losses(run_dir))
+
+
+@pytest.mark.parametrize("resident", ["off", "on"])
+def test_driver_multidevice_matches_single(data_root, tmp_path, resident):
+    """Full driver at n_dev=4 (streaming and resident) reproduces the
+    n_dev=1 valdice trajectory.  Same seed → identical batch streams; the
+    only divergence is cross-device float reduction order."""
+    vd1, vl1 = _train(_config(num_devices=1, device_resident_data=resident),
+                      data_root, tmp_path, f"n1_{resident}")
+    vd4, vl4 = _train(_config(num_devices=4, device_resident_data=resident),
+                      data_root, tmp_path, f"n4_{resident}")
+    assert vd1.shape == vd4.shape == (EP,)
+    assert vl1.shape == vl4.shape == (EP,) and np.all(vl1 > 0)
+    assert np.allclose(vl1, vl4, rtol=1e-3), (vl1, vl4)
+    assert np.allclose(vd1, vd4, atol=5e-3), (vd1, vd4)
+
+
+@pytest.mark.parametrize("resident", ["off", "on"])
+def test_resume_reproduces_uninterrupted_run(data_root, tmp_path, resident):
+    """Kill at epoch 1 of 4 + resume == the uninterrupted 4-epoch run.
+
+    Shuffle order is (seed, epoch)-keyed and the step RNG folds state.step,
+    so the resumed trajectory replays the uninterrupted one exactly on the
+    same backend."""
+    cfg = _config(epoch=4, device_resident_data=resident)
+    vd_full, vl_full = _train(cfg, data_root, tmp_path, f"full_{resident}")
+
+    cfg2 = _config(epoch=4, device_resident_data=resident)
+    run_dir = str(tmp_path / f"int_{resident}")
+    os.makedirs(os.path.join(run_dir, "ckps"), exist_ok=True)
+    train_driver(cfg2, data_root, run_dir=run_dir, stop_after_epoch=1)
+    assert glob.glob(os.path.join(run_dir, "ckps", "ckp_1*"))
+    cfg3 = dataclasses.replace(cfg2, resume=True)
+    train_driver(cfg3, data_root, run_dir=run_dir)
+    vd_res = np.load(os.path.join(run_dir, "valdice.npz"))["valdice"]
+    vl_res = _val_losses(run_dir)            # epochs 0,1 then resumed 2,3
+
+    assert vd_res.shape == vd_full.shape == (4,)
+    assert np.allclose(vd_full, vd_res, atol=1e-5), (vd_full, vd_res)
+    assert np.allclose(vl_full[2:], vl_res[-2:], rtol=1e-5), (vl_full, vl_res)
