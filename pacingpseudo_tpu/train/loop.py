@@ -107,27 +107,67 @@ def _tb_writer(run_dir: str):
         return None
 
 
-def _tb_figures(tb, batch, outputs_np, epoch):
-    """Figure panels (train_chaos.py:321-360): image / scribble / predictions."""
+def _np_softmax(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _tb_train_figures(tb, batch, outputs, epoch):
+    """TRAINING-batch figure panels + histograms (train_chaos.py:320-360).
+
+    ``batch``: the augmented training batch (host numpy, NHWC);
+    ``outputs``: figure-forward logits.  The full reference panel set:
+    image / scribble / weak prediction / prob_weak_max histogram, plus the
+    strong image+prediction+histogram and the auxiliary prediction when
+    those branches run.  Two reference slips are corrected: the misspelled
+    ``predicitons/image_strong`` tag, and ``histogram/prob_strong_max``
+    being fed prob_weak_max (train_chaos.py:352).
+    """
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except Exception:
         return
+
     def _fig(arr, cmap=None):
         fig = plt.figure()
         plt.imshow(arr, cmap)
         return fig
+
     tb.add_figure("predictions/image", _fig(batch["image"][0, ..., 0], "gray"), epoch)
     tb.add_figure("predictions/scribble",
                   _fig(batch["scribble"][0].argmax(-1)), epoch)
-    if "logits" in outputs_np:
-        tb.add_figure("predictions/prediction_decoder_weak",
-                      _fig(outputs_np["logits"][0].argmax(-1)), epoch)
-        prob_max = jax.nn.softmax(outputs_np["logits"], axis=-1).max(-1)
-        tb.add_histogram("histogram/prob_weak_max", np.asarray(prob_max), epoch)
+    probs_w = _np_softmax(outputs["segmentation/logits"])
+    tb.add_figure("predictions/prediction_decoder_weak",
+                  _fig(probs_w[0].argmax(-1)), epoch)
+    tb.add_histogram("histogram/prob_weak_max", probs_w.max(-1), epoch)
+    if "segmentation/logits_strong" in outputs:
+        tb.add_figure("predictions/image_strong",
+                      _fig(batch["image_strong"][0, ..., 0], "gray"), epoch)
+        probs_s = _np_softmax(outputs["segmentation/logits_strong"])
+        tb.add_figure("predictions/prediction_decoder_strong",
+                      _fig(probs_s[0].argmax(-1)), epoch)
+        tb.add_histogram("histogram/prob_strong_max", probs_s.max(-1), epoch)
+    if "aux/logits" in outputs:
+        probs_a = _np_softmax(outputs["aux/logits"])
+        tb.add_figure("predictions/prediction_auxiliary_segmentation",
+                      _fig(probs_a[0].argmax(-1)), epoch)
     plt.close("all")
+
+
+def _make_figure_forward(model):
+    """One frozen-BN forward for the TB panels: runs the strong stream and
+    the aux path (``train=True``) without mutating any state."""
+
+    @jax.jit
+    def fwd(state, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, batch["image"],
+                           batch.get("image_strong"),
+                           train=True, module_train=False)
+
+    return fwd
 
 
 def _build_model(config: ExperimentConfig, siamese: bool) -> PacingPseudoModel:
@@ -368,6 +408,12 @@ def train_driver(config: ExperimentConfig, data_root: str,
          train_chunked_rem_frozen) = _build(False)
 
     tb = _tb_writer(run_dir)
+    fig_forward = fig_gather = None
+    if tb is not None and config.tb_figures and not upper_bound:
+        fig_forward = _make_figure_forward(model)
+        if use_resident:
+            from pacingpseudo_tpu.parallel import make_resident_gather
+            fig_gather = make_resident_gather(mesh if n_dev > 1 else None)
     valdice = np.zeros(config.epoch)
     if start_epoch > 0:
         # keep pre-resume history in valdice.npz (reference artifact parity)
@@ -447,6 +493,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
                     n_steps += 1
             pending = []
 
+        last_raw = None
         if not use_resident:
             train_loader.set_epoch(epoch)
             for raw in train_loader:
@@ -454,6 +501,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
                     break
                 raw.pop("uid", None)
                 pending.append(raw)
+                last_raw = raw
                 if len(pending) == chunk:
                     _flush_chunk()
             _flush_chunk()
@@ -473,6 +521,28 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 tb.add_scalar(tag, v, epoch)
             tb.add_scalar("perf/slices_per_sec", slices_per_sec, epoch)
 
+        # ---- TB figure panels from the LAST training batch
+        # (train_chaos.py:320-360 renders post-loop from `batch`); the aug
+        # is re-drawn with an epoch-keyed key and one frozen-BN forward.
+        if fig_forward is not None:
+            if use_resident:
+                raw_fig = fig_gather(
+                    resident_pool, jnp.asarray(blocks[-1], jnp.int32))
+            elif last_raw is not None:
+                raw_fig = {k: jnp.asarray(v)
+                           for k, v in _shrink_raw(last_raw).items()}
+            else:
+                raw_fig = None
+            if raw_fig is not None:
+                fig_batch = augment_fn(
+                    raw_fig, jax.random.fold_in(data_rng, 1_000_000 + epoch))
+                fig_out = fig_forward(state, fig_batch)
+                _tb_train_figures(
+                    tb, {k: np.asarray(v) for k, v in fig_batch.items()},
+                    {k: np.asarray(v) for k, v in fig_out.items()
+                     if k.endswith("logits") or k.endswith("logits_strong")},
+                    epoch)
+
         # ---- validation (full labels, masked to the live region)
         if use_resident:
             # whole val set in one dispatch; NaN-skipping AvgMeter semantics
@@ -487,25 +557,8 @@ def train_driver(config: ExperimentConfig, data_root: str,
                        if len(per_class) > 1 else float(per_class[0]))
             val_loss_avg = (float(acc_val["loss_sum"]) /
                             max(float(acc_val["n_sum"]), 1e-9))
-            if tb is not None and config.tb_figures:
-                # one streamed batch for the figure panels
-                for raw in val_loader:
-                    raw.pop("uid", None)
-                    raw, _ = _pad_batch(raw, config.batch_size)
-                    proc = eval_preprocess_batch(
-                        {k: jnp.asarray(v) for k, v in raw.items()},
-                        config.num_classes)
-                    if upper_bound:
-                        _, _, _, logits = eval_step(state, proc)
-                    else:
-                        _, _, logits = eval_step(state, proc)
-                    _tb_figures(tb,
-                                {k: np.asarray(v) for k, v in proc.items()},
-                                {"logits": np.asarray(logits)}, epoch)
-                    break
         else:
             vs = ValState(config.num_classes)
-            first_val = True
             for raw in val_loader:
                 raw.pop("uid", None)
                 raw, n_real = _pad_batch(raw, config.batch_size)
@@ -522,13 +575,6 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 else:
                     loss_val, dice, logits = eval_step(state, proc)
                 vs.update(loss_val, dice, n_real, n_real)
-                if first_val and tb is not None and config.tb_figures:
-                    _tb_figures(tb,
-                                {k: np.asarray(v) for k, v in proc.items()
-                                 if not isinstance(v, list)},
-                                {"logits": np.asarray(logits)},
-                                epoch)
-                    first_val = False
             per_class, avg_all = vs.summary()
             val_loss_avg = vs.loss.avg
         valdice[epoch] = avg_all
