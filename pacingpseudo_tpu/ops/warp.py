@@ -60,12 +60,23 @@ def bilinear_sample(src, sy, sx, bound_h=None, bound_w=None):
 
 def fused_warp_sample(image, label, scribble, sy, sx, num_values,
                       bound_h, bound_w):
-    """Warp image (bilinear) + label/scribble (class vote) in 4 shared gathers.
+    """Warp image (bilinear) + label/scribble (class vote) in ONE gather.
 
-    The three tensors share the same sample coordinates, so their four
-    bilinear taps use identical indices: stacking them as channels turns 12
-    independent gathers into 4 row-gathers of a (H*W, 3) table — the
-    dominant cost of the augmentation warp on TPU.
+    The three tensors share the same sample coordinates, and the four
+    bilinear taps of a pixel are the 2x2 neighbourhood of ``(y0, x0)`` — so
+    instead of 12 independent gathers (4 taps x 3 tensors) we roll each
+    source into a (H*W, 12) table whose row at flat index ``y*W + x`` packs
+    ``(v[y,x], v[y,x+1], v[y+1,x], v[y+1,x+1])`` for all three tensors, and
+    issue a SINGLE row-gather at ``(y0, x0)``.  TPU gathers cost per ROW
+    (each row pads to the 128-lane tile regardless of width), so 4x fewer
+    rows ≈ 4x less gather time — measured the dominant cost of the
+    augmentation program (NOTES.md round-1 item 2).
+
+    Exactness: the rolled table wraps at the canvas edge, but a wrapped
+    value is only ever read where its bilinear weight is EXACTLY zero —
+    ``x1`` clamps only when ``sx == bound_w - 1``, which forces ``fx == 0``
+    (same for y) — so image sums and class votes match the unpacked 4-tap
+    formulation bit for bit.
 
     Returns (image_out, label_out, scribble_out) with shapes of ``sy``.
     """
@@ -74,30 +85,37 @@ def fused_warp_sample(image, label, scribble, sy, sx, num_values,
     sx = jnp.clip(sx, 0.0, bound_w - 1.0)
     y0 = jnp.floor(sy).astype(jnp.int32)
     x0 = jnp.floor(sx).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, jnp.asarray(bound_h - 1, jnp.int32))
-    x1 = jnp.minimum(x0 + 1, jnp.asarray(bound_w - 1, jnp.int32))
     fy = sy - y0
     fx = sx - x0
 
-    stacked = jnp.stack(
-        [image, label.astype(jnp.float32), scribble.astype(jnp.float32)],
-        axis=-1).reshape(-1, 3)
+    planes = [image, label.astype(jnp.float32), scribble.astype(jnp.float32)]
+    cols = []
+    for p in planes:
+        pr = jnp.roll(p, -1, axis=1)      # v[y, x+1]
+        pd = jnp.roll(p, -1, axis=0)      # v[y+1, x]
+        pdr = jnp.roll(pd, -1, axis=1)    # v[y+1, x+1]
+        cols += [p, pr, pd, pdr]
+    table = jnp.stack(cols, axis=-1).reshape(-1, 12)
 
-    # Vote tallies keep the class axis UNROLLED as a static Python list of
-    # full-lane (H, W) planes: a trailing num_values=3..6 axis would be
-    # padded to the 128-lane tile and waste ~20x of the VPU.
-    img_acc = 0.0
-    taps = []
-    for iy, ix, wgt in (
-        (y0, x0, (1 - fy) * (1 - fx)),
-        (y0, x1, (1 - fy) * fx),
-        (y1, x0, fy * (1 - fx)),
-        (y1, x1, fy * fx),
-    ):
-        rows = jnp.take(stacked, (iy * w + ix).reshape(-1), axis=0)
-        rows = rows.reshape(*iy.shape, 3)
-        img_acc = img_acc + wgt * rows[..., 0]
-        taps.append((rows[..., 1], rows[..., 2], wgt))
+    rows = jnp.take(table, (y0 * w + x0).reshape(-1), axis=0)
+    rows = rows.reshape(*y0.shape, 12)
+
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+
+    img_acc = (w00 * rows[..., 0] + w01 * rows[..., 1]
+               + w10 * rows[..., 2] + w11 * rows[..., 3])
+    # taps: (label_plane, scribble_plane, weight) per corner — the class
+    # axis stays UNROLLED as full-lane (H, W) planes (a trailing
+    # num_values=3..6 axis would pad to the 128-lane tile).
+    taps = [
+        (rows[..., 4], rows[..., 8], w00),
+        (rows[..., 5], rows[..., 9], w01),
+        (rows[..., 6], rows[..., 10], w10),
+        (rows[..., 7], rows[..., 11], w11),
+    ]
 
     def vote_argmax(tensor_idx):
         best_val = None
