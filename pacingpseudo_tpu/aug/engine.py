@@ -44,6 +44,7 @@ from pacingpseudo_tpu.ops.resize import bilinear_resize_align_corners
 from pacingpseudo_tpu.ops.warp import (
     bilinear_sample,
     fused_warp_sample,
+    fused_warp_sample_cubic,
     separable_gaussian_blur,
 )
 
@@ -213,9 +214,11 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
         sy)                                      # k == 3
     sy, sx = ry, rx
 
-    # ---- One fused gather pass for all three tensors (4 shared taps).
+    # ---- One fused gather pass for all three tensors (shared taps).
     num_vals = p.num_classes + 1
-    img_out, lab_out, scb_out = fused_warp_sample(
+    warp = (fused_warp_sample_cubic if p.image_interp == "bicubic"
+            else fused_warp_sample)
+    img_out, lab_out, scb_out = warp(
         img, label, scribble, sy, sx, num_vals, bound_h=h_raw, bound_w=w_raw)
 
     # rotation padding (image 0 / labels ignored_index, augmentations.py:294-312)

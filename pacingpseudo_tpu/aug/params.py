@@ -60,6 +60,14 @@ class BaseAugParams:
     p_rot90: float = 0.0
     rot90_choices: Tuple[int, ...] = (1, 2, 3)
 
+    # Image resampling kernel for the fused warp.  "bicubic" (default)
+    # samples the image with the 4x4 Keys kernel, matching the reference's
+    # order-3 resamples (augmentations.py:214/:270/:307) in measured
+    # gradient statistics (AUG_PARITY.json geometry_only); "bilinear" is
+    # the round-1 single-tap kernel (slightly smoother output, marginally
+    # cheaper).  Labels/scribbles always use the exact 4-tap class vote.
+    image_interp: str = "bicubic"
+
 
 @dataclasses.dataclass(frozen=True)
 class StrongAugParams:

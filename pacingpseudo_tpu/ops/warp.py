@@ -135,6 +135,129 @@ def fused_warp_sample(image, label, scribble, sy, sx, num_values,
     return img_acc, vote_argmax(0), vote_argmax(1)
 
 
+def _keys_cubic_weights(f, a: float = -0.5):
+    """Keys cubic convolution weights for the 4 taps at offsets -1..2.
+
+    ``f`` is the fractional coordinate in [0, 1).  a=-0.75 is exactly
+    cv2.INTER_CUBIC (the reference's rotation kernel, augmentations.py:307);
+    a=-0.5 (Catmull-Rom) measures closest to the reference's full mixed
+    chain of cubic resamples (skimage/scipy splines + cv2, :214/:270/:307):
+    AUG_PARITY.json geometry_only gradient-KS 0.031 vs 0.063 for a=-0.75.
+    Weights sum to 1 exactly.
+    """
+    def w_near(s):   # |s| <= 1
+        return (a + 2.0) * s ** 3 - (a + 3.0) * s ** 2 + 1.0
+
+    def w_far(s):    # 1 < |s| < 2
+        return a * (s ** 3 - 5.0 * s ** 2 + 8.0 * s - 4.0)
+
+    return (w_far(1.0 + f), w_near(f), w_near(1.0 - f), w_far(2.0 - f))
+
+
+def fused_warp_sample_cubic(image, label, scribble, sy, sx, num_values,
+                            bound_h, bound_w, cubic_a: float = -0.5):
+    """Like :func:`fused_warp_sample` but with a bicubic image tap.
+
+    The image is sampled with the 4x4 Keys cubic kernel (matching the
+    reference's order-3 resamples, augmentations.py:214/:270/:307, far
+    closer in measured gradient statistics than one bilinear tap — see
+    AUG_PARITY.json ``geometry_only``); labels/scribbles keep the exact
+    4-tap bilinear class vote.
+
+    Still ONE row-gather, widened from 12 to 24 lanes (measured on-chip:
+    gather time grows with row BYTES — 48 f32 lanes cost 8x the 12-lane
+    table, 24 lanes only +60% — so every tap gets its own fixed lane and
+    no select arithmetic is needed).  The row at flat ``(y, x)`` packs the
+    image's 4x4 neighbourhood ``img[y-1+r, x-1+c]`` (lanes ``4r+c``) and
+    the 2x2 label/scribble neighbourhoods at (0,0),(0,1),(1,0),(1,1)
+    (lanes 16..19 / 20..23); the gather anchor stays ``(y0, x0)``.
+
+    Edge handling: rolled lanes wrap at the canvas edge, so any tap whose
+    nominal coordinate leaves the live region ``[0, bound)`` gets its
+    cubic weight zeroed and the kernel is renormalised (boundary-kernel
+    convention; interior pixels — all 16 taps live — are exact Keys).
+    Out-of-range *bilinear* label taps (``y0+1 == bound``) carry weight
+    exactly 0, so the class votes match :func:`fused_warp_sample` bit for
+    bit (same argument as there).
+
+    The cubic sum can overshoot; it is clipped to the live-region value
+    range, mirroring the reference's per-stage ``clip=True``.
+    """
+    h, w = image.shape
+    sy = jnp.clip(sy, 0.0, bound_h - 1.0)
+    sx = jnp.clip(sx, 0.0, bound_w - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    fy = sy - y0
+    fx = sx - x0
+
+    bh_i = bound_h.astype(jnp.int32) if hasattr(bound_h, "astype") else jnp.int32(bound_h)
+    bw_i = bound_w.astype(jnp.int32) if hasattr(bound_w, "astype") else jnp.int32(bound_w)
+
+    # (H*W, 24) table: image lanes 4r+c = img[y-1+r, x-1+c]; label lanes
+    # 16..19 and scribble lanes 20..23 hold the (0,0),(0,1),(1,0),(1,1)
+    # bilinear corners exactly like fused_warp_sample's table.
+    cols = []
+    for r in range(4):
+        pr = jnp.roll(image, -(r - 1), axis=0)
+        for c in range(4):
+            cols.append(jnp.roll(pr, -(c - 1), axis=1))
+    for p in (label.astype(jnp.float32), scribble.astype(jnp.float32)):
+        pright = jnp.roll(p, -1, axis=1)
+        pdown = jnp.roll(p, -1, axis=0)
+        cols += [p, pright, pdown, jnp.roll(pdown, -1, axis=1)]
+    table = jnp.stack(cols, axis=-1).reshape(-1, 24)
+
+    rows = jnp.take(table, (y0 * w + x0).reshape(-1), axis=0)
+    rows = rows.reshape(*y0.shape, 24)
+
+    # ---- image: 16 cubic taps; live-range masked + renormalised weights.
+    wy = _keys_cubic_weights(fy, cubic_a)
+    wx = _keys_cubic_weights(fx, cubic_a)
+    wy = [wy[r] * ((y0 - 1 + r >= 0) & (y0 - 1 + r <= bh_i - 1)) for r in range(4)]
+    wx = [wx[c] * ((x0 - 1 + c >= 0) & (x0 - 1 + c <= bw_i - 1)) for c in range(4)]
+    ny = wy[0] + wy[1] + wy[2] + wy[3]   # >= w(f)+w(1-f) > 0.9: taps y0 and
+    nx = wx[0] + wx[1] + wx[2] + wx[3]   # y0+1 are live except when f == 0
+    img_acc = 0.0
+    for r in range(4):
+        for c in range(4):
+            img_acc = img_acc + wy[r] * wx[c] * rows[..., 4 * r + c]
+    img_acc = img_acc / (ny * nx)
+
+    # live-region range clip (reference clip=True, augmentations.py:214,:257)
+    iy = jax.lax.broadcasted_iota(jnp.int32, image.shape, 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, image.shape, 1)
+    live = (iy < bh_i) & (ix < bw_i)
+    lo = jnp.min(jnp.where(live, image, jnp.inf))
+    hi = jnp.max(jnp.where(live, image, -jnp.inf))
+    img_acc = jnp.clip(img_acc, lo, hi)
+
+    # ---- labels/scribbles: exact bilinear class vote (fixed lanes).
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+
+    def vote_argmax(base):
+        taps = [(rows[..., base], w00), (rows[..., base + 1], w01),
+                (rows[..., base + 2], w10), (rows[..., base + 3], w11)]
+        best_val = None
+        best_cls = None
+        for v in range(num_values):
+            vote = 0.0
+            for val, wt in taps:
+                vote = vote + wt * (val == v)
+            if best_val is None:
+                best_val, best_cls = vote, jnp.zeros_like(vote, jnp.int32)
+            else:
+                take_new = vote > best_val  # strict: ties keep the lower class
+                best_val = jnp.where(take_new, vote, best_val)
+                best_cls = jnp.where(take_new, v, best_cls)
+        return best_cls
+
+    return img_acc, vote_argmax(16), vote_argmax(20)
+
+
 def separable_gaussian_blur(img, sigma, radius: int):
     """Gaussian blur with a traced ``sigma`` and static kernel ``radius``.
 

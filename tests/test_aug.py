@@ -114,7 +114,7 @@ def test_rotation_matches_cv2(rng):
     augmentations.py:299-317), bilinear vs bilinear, away from borders."""
     img, lab, scb, size = _sample(rng)
     deg = 23.0
-    p = _params(p_rotate=1.0, degree_range=(deg, deg))
+    p = _params(p_rotate=1.0, degree_range=(deg, deg), image_interp="bilinear")
     out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), p)
 
     src = _norm(np.asarray(img)[:CH, :CW])
@@ -133,12 +133,62 @@ def test_rotation_matches_cv2(rng):
     assert mismatch < 0.2
 
 
+def test_cubic_rotation_matches_cv2_inter_cubic(rng):
+    """Bicubic image tap (engine default, Catmull-Rom a=-0.5) vs
+    cv2.INTER_CUBIC (Keys a=-0.75, augmentations.py:307): same family,
+    close kernels — interior pixels agree to kernel-difference tolerance."""
+    img, lab, scb, size = _sample(rng)
+    deg = 23.0
+    p = _params(p_rotate=1.0, degree_range=(deg, deg))
+    assert p.image_interp == "bicubic"
+    out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(0), p)
+
+    src = _norm(np.asarray(img)[:CH, :CW])
+    m = cv2.getRotationMatrix2D((CW / 2, CH / 2), deg, 1.0)
+    ref = cv2.warpAffine(src, m, (CW, CH), flags=cv2.INTER_CUBIC, borderValue=0.0)
+    got = np.asarray(out["image"])
+    sl = slice(8, -8)
+    # white-noise input maximises the a=-0.5 vs a=-0.75 kernel difference,
+    # so compare by correlation; exact-kernel agreement is pinned by
+    # test_cubic_op_exactly_matches_cv2_kernel below.
+    r = np.corrcoef(_norm(got[sl, sl]).ravel(), _norm(ref[sl, sl]).ravel())[0, 1]
+    assert r > 0.99, r
+
+
+def test_cubic_op_exactly_matches_cv2_kernel(rng):
+    """With cubic_a=-0.75 the op IS cv2.INTER_CUBIC: a pure rotation warp
+    agrees with cv2.warpAffine to its fixed-point table precision."""
+    from pacingpseudo_tpu.ops.warp import fused_warp_sample_cubic
+    src = rng.randn(CH, CW).astype(np.float32)
+    deg = 23.0
+    m = cv2.getRotationMatrix2D((CW / 2, CH / 2), deg, 1.0)
+    ref = cv2.warpAffine(src, m, (CW, CH), flags=cv2.INTER_CUBIC, borderValue=0.0)
+    # inverse map of the same affine
+    yy, xx = np.mgrid[0:CH, 0:CW].astype(np.float64)
+    minv = cv2.invertAffineTransform(m)
+    sx = minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]
+    sy = minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]
+    inside = (sy >= 1) & (sy < CH - 2) & (sx >= 1) & (sx < CW - 2)
+    lab = np.zeros((CH, CW), np.float32)
+    got, _, _ = fused_warp_sample_cubic(
+        jnp.asarray(src), jnp.asarray(lab), jnp.asarray(lab),
+        jnp.asarray(sy, dtype=jnp.float32), jnp.asarray(sx, dtype=jnp.float32),
+        2, bound_h=jnp.float32(CH), bound_w=jnp.float32(CW), cubic_a=-0.75)
+    got = np.asarray(got)
+    # cv2 clips coordinates differently at borders; compare interior taps,
+    # excluding pixels where our live-range clip engaged (cv2 doesn't clip)
+    unclipped = (got > src.min() + 1e-6) & (got < src.max() - 1e-6)
+    m_ = inside & unclipped
+    assert m_.sum() > 0.5 * CH * CW
+    assert np.allclose(got[m_], ref[m_], atol=5e-3)
+
+
 def test_scaling_matches_scipy_zoom(rng):
     """Pure down-scaling vs scipy map_coordinates with the same half-pixel
     mapping (the skimage.resize convention, augmentations.py:214)."""
     img, lab, scb, size = _sample(rng)
     sc = 0.75
-    p = _params(p_scale=1.0, scale_range=(sc, sc))
+    p = _params(p_scale=1.0, scale_range=(sc, sc), image_interp="bilinear")
     out = base_augment_sample(img, lab, scb, size, jax.random.PRNGKey(5), p)
 
     src = _norm(np.asarray(img)[:CH, :CW])
@@ -329,3 +379,119 @@ def test_cutout_zeroes_box_and_respects_gate(rng):
                             p_cutout=0.0)
     out_off = np.asarray(strong_augment_sample(img, img, jax.random.PRNGKey(3), p_off))
     assert np.array_equal(out_off, np.asarray(img))
+
+
+# ---------------------------------------------------------------------------
+# fused_warp_sample_cubic (ops/warp.py): single-gather bicubic image tap
+# ---------------------------------------------------------------------------
+
+def _naive_cubic(src, lab, scb, sy, sx, num_values, bh, bw):
+    """Direct 16-tap Keys a=-0.5 warp with live-range-masked + renormalised
+    boundary weights, plus the 4-tap bilinear class vote — the definition
+    the packed single-gather implementation must reproduce."""
+    a = -0.5
+
+    def kw(f):
+        def near(s):
+            return (a + 2) * s ** 3 - (a + 3) * s ** 2 + 1
+
+        def far(s):
+            return a * (s ** 3 - 5 * s ** 2 + 8 * s - 4)
+        return [far(1 + f), near(f), near(1 - f), far(2 - f)]
+
+    sy = np.clip(sy, 0, bh - 1.0)
+    sx = np.clip(sx, 0, bw - 1.0)
+    y0 = np.floor(sy).astype(int)
+    x0 = np.floor(sx).astype(int)
+    fy, fx = sy - y0, sx - x0
+    img = np.zeros_like(sy)
+    wy = [kw(fy)[r] * ((y0 - 1 + r >= 0) & (y0 - 1 + r <= bh - 1)) for r in range(4)]
+    wx = [kw(fx)[c] * ((x0 - 1 + c >= 0) & (x0 - 1 + c <= bw - 1)) for c in range(4)]
+    ny, nx = sum(wy), sum(wx)
+    for i in range(4):
+        cy = np.clip(y0 - 1 + i, 0, bh - 1)
+        for j in range(4):
+            cx = np.clip(x0 - 1 + j, 0, bw - 1)
+            img += wy[i] * wx[j] * src[cy, cx]
+    img /= ny * nx
+    live = src[:bh, :bw]
+    img = np.clip(img, live.min(), live.max())
+
+    def vote(plane):
+        y1 = np.minimum(y0 + 1, bh - 1)
+        x1 = np.minimum(x0 + 1, bw - 1)
+        taps = [(y0, x0, (1 - fy) * (1 - fx)), (y0, x1, (1 - fy) * fx),
+                (y1, x0, fy * (1 - fx)), (y1, x1, fy * fx)]
+        best_v = None
+        best_c = None
+        for v in range(num_values):
+            s = sum(w * (plane[yy, xx] == v) for yy, xx, w in taps)
+            if best_v is None:
+                best_v, best_c = s, np.zeros_like(s, int)
+            else:
+                new = s > best_v
+                best_v = np.where(new, s, best_v)
+                best_c = np.where(new, v, best_c)
+        return best_c
+
+    return img, vote(lab), vote(scb)
+
+
+def test_cubic_warp_matches_naive(rng):
+    from pacingpseudo_tpu.ops.warp import fused_warp_sample_cubic
+    h = w = 24
+    bh, bw = 20, 22  # live region smaller than the canvas
+    src = rng.randn(h, w).astype(np.float32)
+    lab = rng.randint(0, C + 1, (h, w)).astype(np.float32)
+    scb = rng.randint(0, C + 2, (h, w)).astype(np.float32)
+    # coordinates spanning interior, edges, corners and out-of-range
+    sy = rng.uniform(-1.5, bh + 1.5, (16, 16)).astype(np.float32)
+    sx = rng.uniform(-1.5, bw + 1.5, (16, 16)).astype(np.float32)
+    sy[0, :4] = [0.0, bh - 1.0, 0.3, bh - 1.3]
+    sx[0, :4] = [0.0, bw - 1.0, bw - 0.9, 0.2]
+
+    img_j, lab_j, scb_j = fused_warp_sample_cubic(
+        jnp.asarray(src), jnp.asarray(lab), jnp.asarray(scb),
+        jnp.asarray(sy), jnp.asarray(sx), C + 2,
+        bound_h=jnp.float32(bh), bound_w=jnp.float32(bw))
+    img_n, lab_n, scb_n = _naive_cubic(
+        src.astype(np.float64), lab, scb,
+        sy.astype(np.float64), sx.astype(np.float64), C + 2, bh, bw)
+    assert np.allclose(np.asarray(img_j), img_n, atol=2e-4)
+    assert np.array_equal(np.asarray(lab_j), lab_n)
+    assert np.array_equal(np.asarray(scb_j), scb_n)
+
+
+def test_cubic_warp_labels_bitmatch_bilinear_vote(rng):
+    """The cubic variant must reproduce fused_warp_sample's class votes
+    exactly (only the image kernel differs)."""
+    from pacingpseudo_tpu.ops.warp import fused_warp_sample, fused_warp_sample_cubic
+    h = w = 32
+    bh = bw = 32
+    src = rng.randn(h, w).astype(np.float32)
+    lab = rng.randint(0, C + 1, (h, w)).astype(np.float32)
+    scb = rng.randint(0, C + 2, (h, w)).astype(np.float32)
+    sy = rng.uniform(0, bh - 1, (h, w)).astype(np.float32)
+    sx = rng.uniform(0, bw - 1, (h, w)).astype(np.float32)
+    args = (jnp.asarray(src), jnp.asarray(lab), jnp.asarray(scb),
+            jnp.asarray(sy), jnp.asarray(sx), C + 2)
+    _, lab_b, scb_b = fused_warp_sample(*args, bound_h=jnp.float32(bh),
+                                        bound_w=jnp.float32(bw))
+    _, lab_c, scb_c = fused_warp_sample_cubic(*args, bound_h=jnp.float32(bh),
+                                              bound_w=jnp.float32(bw))
+    assert np.array_equal(np.asarray(lab_b), np.asarray(lab_c))
+    assert np.array_equal(np.asarray(scb_b), np.asarray(scb_c))
+
+
+def test_cubic_warp_identity_at_integer_coords(rng):
+    from pacingpseudo_tpu.ops.warp import fused_warp_sample_cubic
+    h = w = 16
+    src = rng.randn(h, w).astype(np.float32)
+    lab = rng.randint(0, C, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img, labo, _ = fused_warp_sample_cubic(
+        jnp.asarray(src), jnp.asarray(lab), jnp.asarray(lab),
+        jnp.asarray(yy), jnp.asarray(xx), C,
+        bound_h=jnp.float32(h), bound_w=jnp.float32(w))
+    assert np.allclose(np.asarray(img), src, atol=1e-5)
+    assert np.array_equal(np.asarray(labo), lab)
