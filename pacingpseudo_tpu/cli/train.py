@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate N synthetic slices under --data_root first")
     p.add_argument("--input_size", type=int, nargs=2, default=None,
                    help="override the dataset crop size (smoke runs)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write one jax.profiler trace (epochs start+1..+2) "
+                        "to this directory (empty = off)")
     return p
 
 
@@ -219,6 +222,7 @@ def config_from_args(args) -> ExperimentConfig:
         device_resident_data=args.device_resident_data,
         input_size=tuple(args.input_size) if args.input_size else None,
         resume=args.resume,
+        profile_dir=args.profile_dir,
     )
 
 
