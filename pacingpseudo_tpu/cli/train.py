@@ -137,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "streams (per-stream BN stats), memory_update_mode="
                         "first, and the BN-eval-after-first-epoch quirk")
     p.add_argument("--num_devices", type=int, default=0)
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard activation height over a 'space' mesh axis "
+                        "(devices split as data x space; streaming path)")
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--device_resident_data", type=str, default="auto",
                    choices=["auto", "on", "off"])
@@ -218,6 +221,7 @@ def config_from_args(args) -> ExperimentConfig:
         memory_update_mode=args.memory_update_mode,
         ref_quirk_bn_eval_after_first_epoch=args.ref_quirk_bn_eval_after_first_epoch,
         num_devices=args.num_devices,
+        spatial_shards=args.spatial_shards,
         steps_per_dispatch=args.steps_per_dispatch,
         device_resident_data=args.device_resident_data,
         input_size=tuple(args.input_size) if args.input_size else None,

@@ -148,6 +148,9 @@ class ExperimentConfig:
     # back (train_chaos.py:370, upper_bound_chaos.py:183), freezing BN in
     # running-stats mode from epoch 1 on.  True reproduces that.
     num_devices: int = 0                  # 0 = all visible devices (data mesh)
+    spatial_shards: int = 1               # shard activation H over a 'space'
+                                          # mesh axis (streaming path only;
+                                          # parallel/spatial.py)
     steps_per_dispatch: int = 8           # train steps scanned into one XLA
                                           # dispatch (amortises host->device
                                           # dispatch latency; 1 disables)

@@ -289,13 +289,30 @@ def train_driver(config: ExperimentConfig, data_root: str,
 
     # ---- mesh / model / state.  The data mesh must divide the batch; use
     # the largest divisor of batch_size not exceeding the available devices.
+    # With --spatial_shards > 1 the devices split as data x space and the
+    # jitted steps reshard activation heights over 'space'
+    # (parallel/spatial.py; GSPMD conv halo exchanges).
     avail = config.num_devices or len(jax.devices())
-    n_dev = max(d for d in range(1, avail + 1) if config.batch_size % d == 0)
-    if n_dev != avail:
+    n_space = max(1, int(config.spatial_shards))
+    if n_space > 1 and avail // n_space < 1:
+        logging.info("clamping spatial_shards %d -> %d (devices)", n_space, avail)
+        n_space = avail
+    avail_data = max(avail // n_space, 1)
+    n_dev = max(d for d in range(1, avail_data + 1) if config.batch_size % d == 0)
+    if n_dev != avail_data:
         logging.info("clamping data mesh %d -> %d (batch %d divisibility)",
-                     avail, n_dev, config.batch_size)
-    mesh = data_mesh(n_dev)
-    logging.info("devices: %s (data mesh of %d)", jax.devices()[:n_dev], n_dev)
+                     avail_data, n_dev, config.batch_size)
+    spatial_constraint = None
+    if n_space > 1:
+        from pacingpseudo_tpu.parallel.spatial import (
+            make_spatial_constraint, train_mesh)
+        mesh = train_mesh(n_dev, n_space)
+        spatial_constraint = make_spatial_constraint(mesh)
+        logging.info("devices: %s (mesh data=%d x space=%d)",
+                     jax.devices()[: n_dev * n_space], n_dev, n_space)
+    else:
+        mesh = data_mesh(n_dev)
+        logging.info("devices: %s (data mesh of %d)", jax.devices()[:n_dev], n_dev)
 
     model = _build_model(config, siamese)
     tx = make_optimizer(config, steps_per_epoch)
@@ -328,10 +345,12 @@ def train_driver(config: ExperimentConfig, data_root: str,
     # ---- jitted steps (normal + frozen-BN quirk variant)
     if upper_bound:
         make_train = make_upper_bound_train_step
-        eval_step = make_upper_bound_eval_step(config, model)
+        eval_step = make_upper_bound_eval_step(
+            config, model, spatial_constraint=spatial_constraint)
     else:
         make_train = make_pacing_train_step
-        eval_step = make_pacing_eval_step(config, model)
+        eval_step = make_pacing_eval_step(
+            config, model, spatial_constraint=spatial_constraint)
 
     # Chunked dispatch: scan ``steps_per_dispatch`` steps into one XLA
     # program to amortise host->device dispatch latency (step.py).
@@ -346,6 +365,11 @@ def train_driver(config: ExperimentConfig, data_root: str,
     use_resident = (config.device_resident_data == "on"
                     or (config.device_resident_data == "auto"
                         and pool_bytes < n_dev * 6 * 2 ** 30))
+    if use_resident and n_space > 1:
+        # The resident gather's shard_map is written against the 1-D data
+        # mesh; spatial sharding takes the streaming path.
+        logging.info("spatial_shards > 1: disabling device-resident mode")
+        use_resident = False
     resident_pool = None
     if use_resident:
         logging.info("staging %d slices (%.2f GB, /%d chips) in device memory",
@@ -387,7 +411,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
     def _build(module_train):
         body = make_train(config, model, tx, steps_per_epoch,
                           module_train=module_train, augment_fn=augment_fn,
-                          jit=False)
+                          jit=False, spatial_constraint=spatial_constraint)
         single = jax.jit(body, donate_argnums=(0,))
         if use_resident:
             rmesh = mesh if n_dev > 1 else None

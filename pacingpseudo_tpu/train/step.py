@@ -181,7 +181,8 @@ def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
                            module_train: bool = True,
                            augment_fn: Callable | None = None,
                            donate: bool = True,
-                           jit: bool = True):
+                           jit: bool = True,
+                           spatial_constraint: Callable | None = None):
     """Build the jitted pacing train step.
 
     Args:
@@ -191,6 +192,10 @@ def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
         fused into the same XLA program (see aug/).
       jit: False returns the raw step body (for scanning into a chunked
         multi-step program, see :func:`make_chunked_train_step`).
+      spatial_constraint: optional post-augmentation resharding hook
+        (parallel/spatial.py make_spatial_constraint) pinning activations
+        to a ('data', 'space') mesh — GSPMD partitions the model fwd+bwd
+        along H with automatic conv halo exchanges.
     """
     lr_by_epoch = make_lr_schedule(config.lr_decay, config.epoch, config.lr)
 
@@ -199,6 +204,8 @@ def make_pacing_train_step(config, model, tx, steps_per_epoch: int,
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         if augment_fn is not None:
             batch = augment_fn(batch, aug_rng)
+        if spatial_constraint is not None:
+            batch = spatial_constraint(batch)
 
         grad_fn = jax.value_and_grad(
             lambda p: _pacing_losses(config, model, p, state.batch_stats,
@@ -298,7 +305,7 @@ def make_resident_chunked_train_step(step_body, chunk: int, mesh=None):
     return jax.jit(chunked, donate_argnums=(0,))
 
 
-def make_pacing_eval_step(config, model):
+def make_pacing_eval_step(config, model, spatial_constraint: Callable | None = None):
     """Validation step: weak forward (running BN stats), PCE + per-class Dice.
 
     Mirrors the reference validation loop (train_chaos.py:369-391): loss_pce
@@ -312,6 +319,8 @@ def make_pacing_eval_step(config, model):
     """
 
     def eval_step(state: TrainState, batch: Dict[str, Any]):
+        if spatial_constraint is not None:
+            batch = spatial_constraint(batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(variables, batch["image"], None, train=False)
         logits = outputs["segmentation/logits"]
@@ -455,7 +464,8 @@ def make_upper_bound_train_step(config, model, tx, steps_per_epoch: int,
                                 module_train: bool = True,
                                 augment_fn: Callable | None = None,
                                 donate: bool = True,
-                                jit: bool = True):
+                                jit: bool = True,
+                                spatial_constraint: Callable | None = None):
     lr_by_epoch = make_lr_schedule(config.lr_decay, config.epoch, config.lr)
 
     def train_step(state: TrainState, batch, rng):
@@ -463,6 +473,8 @@ def make_upper_bound_train_step(config, model, tx, steps_per_epoch: int,
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         if augment_fn is not None:
             batch = augment_fn(batch, aug_rng)
+        if spatial_constraint is not None:
+            batch = spatial_constraint(batch)
 
         grad_fn = jax.value_and_grad(
             lambda p: _upper_bound_losses(config, model, p, state.batch_stats,
@@ -485,10 +497,12 @@ def make_upper_bound_train_step(config, model, tx, steps_per_epoch: int,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_upper_bound_eval_step(config, model):
+def make_upper_bound_eval_step(config, model, spatial_constraint: Callable | None = None):
     """Validation: CE + Dice-loss + per-class Dice (upper_bound_chaos.py:186-209)."""
 
     def eval_step(state: TrainState, batch):
+        if spatial_constraint is not None:
+            batch = spatial_constraint(batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(variables, batch["image"], None, train=False)
         logits = outputs["segmentation/logits"]

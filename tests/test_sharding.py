@@ -117,3 +117,51 @@ def test_spatial_sharding_matches_single_device(rng):
     fwd = spatial_forward(model, variables, mesh)
     got = fwd(shard_spatial(x, mesh))
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_spatial_sharded_train_step_matches_single_device(rng):
+    """Training with activations H-sharded over a ('data','space') mesh
+    (parallel/spatial.py make_spatial_constraint) reproduces the
+    single-device losses: with_sharding_constraint only changes WHERE the
+    math runs, and GSPMD's conv halo exchanges keep the fwd+bwd exact."""
+    from pacingpseudo_tpu.config import ExperimentConfig
+    from pacingpseudo_tpu.parallel.spatial import (
+        make_spatial_constraint, train_mesh)
+
+    config = ExperimentConfig(
+        num_classes=C, ignored_index=C, session="Experiment",
+        do_loss_ent=True, do_decoder_consistency=True, do_aux_path=True,
+        do_memory=True, batch_size=N, epoch=10, compute_dtype="float32",
+    ).validate()
+    model = PacingPseudoModel(num_classes=C, init_ch=8, output_stride=8,
+                              do_aux_path=True, dtype=jnp.float32)
+    batch = {
+        "image": np.asarray(rng.randn(N, H, W, 1), np.float32),
+        "image_strong": np.asarray(rng.randn(N, H, W, 1), np.float32),
+        "scribble": np.eye(C + 1, dtype=np.float32)[
+            rng.randint(0, C + 1, (N, H, W))],
+        "valid_mask": np.ones((N, H, W, 1), np.float32),
+    }
+    tx = make_optimizer(config, steps_per_epoch=4)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, tx,
+        {"image": jnp.zeros((N, H, W, 1), jnp.float32)},
+        with_memory=True, num_classes=C)
+    key = jax.random.PRNGKey(3)
+
+    step1 = make_pacing_train_step(config, model, tx, steps_per_epoch=4,
+                                   donate=False)
+    _, m1 = step1(state, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    mesh = train_mesh(2, 4)  # 2-way data x 4-way space over the 8 devices
+    constraint = make_spatial_constraint(mesh)
+    step_sp = make_pacing_train_step(config, model, tx, steps_per_epoch=4,
+                                     donate=False,
+                                     spatial_constraint=constraint)
+    from pacingpseudo_tpu.parallel import replicate, shard_batch
+    st_sp, m_sp = step_sp(replicate(state, mesh), shard_batch(batch, mesh),
+                          key)
+
+    for k in m1:
+        assert np.allclose(float(m1[k]), float(m_sp[k]), rtol=2e-4,
+                           atol=1e-5), (k, float(m1[k]), float(m_sp[k]))
