@@ -68,7 +68,13 @@ def cross_entropy_loss(logits, target):
     """
     logits = _f32(logits)
     log_p = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_p, target[..., None].astype(jnp.int32), axis=-1)
+    # one-hot multiply-reduce instead of take_along_axis: a per-pixel
+    # class-select lowers to an XLA gather, which profiled at ~12% of the
+    # whole train step on TPU; C<=6 FMAs/pixel on the VPU are ~free.
+    c = logits.shape[-1]
+    nll = -jnp.sum(
+        log_p * jax.nn.one_hot(target.astype(jnp.int32), c, dtype=log_p.dtype),
+        axis=-1)
     return jnp.mean(nll)
 
 
@@ -89,7 +95,10 @@ def partial_cross_entropy_loss(logits, target, ignore_index):
     log_p = jax.nn.log_softmax(logits, axis=-1)
     valid = (target != ignore_index)
     safe_target = jnp.where(valid, target, 0).astype(jnp.int32)
-    nll = -jnp.take_along_axis(log_p, safe_target[..., None], axis=-1)[..., 0]
+    # one-hot multiply-reduce, not take_along_axis (see cross_entropy_loss)
+    c = logits.shape[-1]
+    nll = -jnp.sum(
+        log_p * jax.nn.one_hot(safe_target, c, dtype=log_p.dtype), axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), _EPS_MASK)
     return jnp.sum(nll) / count
