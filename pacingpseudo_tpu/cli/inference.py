@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default="./data")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard activation height over a 'space' mesh axis "
+                        "(devices split as data x space; parallel/spatial.py)")
     return p
 
 
@@ -96,6 +99,7 @@ def main(argv=None):
         ),
         compute_dtype=args.compute_dtype,
         num_workers=args.num_workers,
+        spatial_shards=args.spatial_shards,
     )
 
 

@@ -41,7 +41,7 @@ from pacingpseudo_tpu.utils import AvgMeter
 def run_inference(dataset: str, fold: int, checkpoint_path: str,
                   data_root: str, run_dir: str, batch_size: int = 8,
                   model_kwargs: Dict = None, compute_dtype: str = "bfloat16",
-                  num_workers: int = 4):
+                  num_workers: int = 4, spatial_shards: int = 1):
     spec = DATASETS[dataset]
     num_classes = spec.num_classes
     spacing = spec.spacing
@@ -70,9 +70,30 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
                                       backbone_only)
     variables = {"params": params, "batch_stats": batch_stats}
 
+    # Optional spatial sharding (parallel/spatial.py): with n devices and
+    # --spatial_shards s, activations shard batch x height over a
+    # ('data', 'space') mesh — GSPMD conv halo exchanges, same predictions.
+    spatial_constraint = None
+    n_space = max(1, int(spatial_shards))
+    if n_space > 1:
+        n_avail = len(jax.devices())
+        if n_avail // n_space < 1:
+            logging.info("clamping spatial_shards %d -> %d (devices)",
+                         n_space, n_avail)
+            n_space = n_avail
+        if n_space > 1:
+            from pacingpseudo_tpu.parallel.spatial import (
+                make_spatial_constraint, train_mesh)
+            mesh = train_mesh(max(n_avail // n_space, 1), n_space)
+            spatial_constraint = make_spatial_constraint(mesh)
+            logging.info("inference mesh: data=%d x space=%d",
+                         mesh.shape["data"], mesh.shape["space"])
+
     @jax.jit
     def forward_hard(image_f16, size):
         image = eval_preprocess_image(image_f16, size)
+        if spatial_constraint is not None:
+            image = spatial_constraint({"image": image})["image"]
         out = model.apply(variables, image, train=False)
         # uint8 halves-again the prediction download (num_classes <= 255)
         return jnp.argmax(out["segmentation/logits"], axis=-1).astype(jnp.uint8)

@@ -77,6 +77,28 @@ def test_inference_cli(trained):
     assert data["hd95arr"].shape == data["dicearr"].shape
 
 
+def test_inference_cli_spatial_matches(trained):
+    """--spatial_shards 4 on the 8-device CPU mesh reproduces the plain
+    inference metrics (the constraint only reshards activations;
+    parallel/spatial.py)."""
+    rd = trained["run_dir"]
+    out_plain = os.path.join(trained["root"], "outputs_sp1")
+    out_sp = os.path.join(trained["root"], "outputs_sp4")
+    args = [
+        "inference.py", "--dataset", "chaost1", "--fold", "0",
+        "--checkpoint_file", rd, "--best_ckp", "--init_ch", "8",
+        "--compute_dtype", "float32", "--batch_size", "4",
+        "--data_root", trained["data_root"],
+    ]
+    r1 = _run(args + ["--root", out_plain])
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    r2 = _run(args + ["--root", out_sp, "--spatial_shards", "4"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    d1 = np.load(glob.glob(out_plain + "/Inference/chaost1/*/eval_data.npz")[0])
+    d2 = np.load(glob.glob(out_sp + "/Inference/chaost1/*/eval_data.npz")[0])
+    assert np.allclose(d1["dicearr"], d2["dicearr"], equal_nan=True, atol=1e-6)
+
+
 def test_resume(trained):
     """--resume restores from the latest checkpoint and continues."""
     rd = trained["run_dir"]
