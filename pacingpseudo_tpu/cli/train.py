@@ -140,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial_shards", type=int, default=1,
                    help="shard activation height over a 'space' mesh axis "
                         "(devices split as data x space; streaming path)")
+    p.add_argument("--aug_image_interp", type=str, default="bicubic",
+                   choices=["bicubic", "bilinear"],
+                   help="fused-warp image kernel: bicubic matches the "
+                        "reference's cubic resamples (AUG_PARITY.json); "
+                        "bilinear trades ~4%% throughput parity for speed")
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--device_resident_data", type=str, default="auto",
                    choices=["auto", "on", "off"])
@@ -222,6 +227,7 @@ def config_from_args(args) -> ExperimentConfig:
         ref_quirk_bn_eval_after_first_epoch=args.ref_quirk_bn_eval_after_first_epoch,
         num_devices=args.num_devices,
         spatial_shards=args.spatial_shards,
+        aug_image_interp=args.aug_image_interp,
         steps_per_dispatch=args.steps_per_dispatch,
         device_resident_data=args.device_resident_data,
         input_size=tuple(args.input_size) if args.input_size else None,

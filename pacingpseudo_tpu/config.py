@@ -151,6 +151,9 @@ class ExperimentConfig:
     spatial_shards: int = 1               # shard activation H over a 'space'
                                           # mesh axis (streaming path only;
                                           # parallel/spatial.py)
+    aug_image_interp: str = "bicubic"     # fused-warp image kernel: "bicubic"
+                                          # (measured parity, AUG_PARITY.json)
+                                          # or "bilinear" (max throughput)
     steps_per_dispatch: int = 8           # train steps scanned into one XLA
                                           # dispatch (amortises host->device
                                           # dispatch latency; 1 disables)

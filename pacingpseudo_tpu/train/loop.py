@@ -321,6 +321,9 @@ def train_driver(config: ExperimentConfig, data_root: str,
     if config.input_size:
         base_params = dataclasses.replace(
             base_params, crop_size=tuple(config.input_size))
+    if config.aug_image_interp != base_params.image_interp:
+        base_params = dataclasses.replace(
+            base_params, image_interp=config.aug_image_interp)
     strong_params = strong_params_for(config.augmentations, config.strength)
     augment_fn = make_train_augment_fn(base_params, strong_params, do_strong)
 
