@@ -127,8 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--no_fuse_streams", action="store_true", default=False)
-    p.add_argument("--memory_update_mode", type=str, default="all",
-                   choices=["all", "first"])
+    p.add_argument("--memory_update_mode", type=str, default="first",
+                   choices=["all", "first"],
+                   help="'first' = the reference's actual behaviour (only "
+                        "the first batch sample updates the memory bank, "
+                        "aux_path_memory.py:116); 'all' = fixed-bug variant")
     p.add_argument("--ref_quirk_bn_eval_after_first_epoch", action="store_true",
                    default=False)
     p.add_argument("--reference_parity", action="store_true", default=False,
