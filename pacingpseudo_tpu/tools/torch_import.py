@@ -135,3 +135,86 @@ def load_torch_checkpoint(path: str):
 
     state_dict = torch.load(path, map_location="cpu")
     return convert_state_dict(state_dict)
+
+
+# ---------------------------------------------------------------------------
+# Export (the exact inverse): flax trees -> reference state_dict
+# ---------------------------------------------------------------------------
+
+def _inv_conv_w(t):
+    return np.transpose(np.asarray(t, np.float32), (3, 2, 0, 1))
+
+
+def _module_name(mod: Tuple[str, ...]) -> str:
+    """Dotted reference module name for one of our param-tree module paths."""
+    if mod and mod[0] == "aux_path":
+        sub = {"conv_bottleneck": "layer_bottleneck.1",
+               "norm_bottleneck": "layer_bottleneck.2",
+               "fc_cls": "fc_cls.1"}[mod[1]]
+        return "aux_path." + sub
+    return ".".join("norm_op" if m == "norm" else m for m in mod)
+
+
+def export_state_dict(params: Dict, batch_stats: Dict,
+                      memory_bank: Optional[np.ndarray] = None) -> Dict:
+    """Inverse of :func:`convert_state_dict`: build a reference-compatible
+    ``state_dict`` (numpy values) from flax params/batch_stats (+ bank).
+
+    The result loads into the reference modules with ``strict=True``
+    (``num_batches_tracked`` buffers are emitted as int64 zeros for every
+    BatchNorm).  Weight layouts are transposed back (flax (kh, kw, in, out)
+    -> torch (out, in, kh, kw); ConvTranspose inverse likewise).  Pass
+    ``params['backbone']``-rooted trees for siamese checkpoints — key
+    prefixes mirror ``ConsistencyRegulr.state_dict()`` exactly.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, mod):
+        for k in sorted(tree):
+            v = tree[k]
+            if isinstance(v, dict):
+                walk(v, mod + (k,))
+                continue
+            t = np.asarray(v, np.float32)
+            name = _module_name(mod)
+            if k == "kernel":
+                out[name + ".weight"] = _inv_conv_w(t)
+            elif k == "scale":
+                out[name + ".weight"] = t
+            elif k == "bias":
+                out[name + ".bias"] = t
+            else:
+                raise KeyError(f"Unmapped param leaf: {mod + (k,)}")
+
+    def walk_stats(tree, mod):
+        for k in sorted(tree):
+            v = tree[k]
+            if isinstance(v, dict):
+                walk_stats(v, mod + (k,))
+                continue
+            name = _module_name(mod)
+            if k == "mean":
+                out[name + ".running_mean"] = np.asarray(v, np.float32)
+                out[name + ".num_batches_tracked"] = np.zeros((), np.int64)
+            elif k == "var":
+                out[name + ".running_var"] = np.asarray(v, np.float32)
+            else:
+                raise KeyError(f"Unmapped batch_stats leaf: {mod + (k,)}")
+
+    walk(params, ())
+    walk_stats(batch_stats, ())
+    if memory_bank is not None:
+        out["aux_path.memory_bank"] = np.asarray(
+            memory_bank, np.float32)[:, :, None, None]
+    return out
+
+
+def save_torch_checkpoint(path: str, params: Dict, batch_stats: Dict,
+                          memory_bank: Optional[np.ndarray] = None) -> int:
+    """Write a reference-loadable ``.pth`` file; returns the key count."""
+    import torch
+
+    sd = export_state_dict(params, batch_stats, memory_bank)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+    return len(sd)
