@@ -74,3 +74,26 @@ def test_native_batch_loader_iterates(files):
         assert b["image"].shape[1:] == (64, 64)
         total += b["image"].shape[0]
     assert total == 6
+
+
+def test_native_truncated_and_mutated_npz_raise(files, tmp_path):
+    """The ADVICE round-1 bounds-check scenario: a structurally-valid zip
+    prefix with a truncated/corrupted tail must raise a Python error, not
+    read out of bounds (data/native/npz_loader.cpp bounds checks)."""
+    raw = open(files[0], "rb").read()
+    # truncate at several points inside the member payloads
+    for frac in (0.3, 0.6, 0.9):
+        p = str(tmp_path / f"trunc{int(frac*100)}.npz")
+        with open(p, "wb") as f:
+            f.write(raw[: int(len(raw) * frac)])
+        with pytest.raises(RuntimeError):
+            native.load_batch_native([p], 64, 3.0)
+    # flip bytes in the central directory region (tail of the file)
+    mut = bytearray(raw)
+    for off in range(len(mut) - 40, len(mut) - 20):
+        mut[off] ^= 0xFF
+    p = str(tmp_path / "mut.npz")
+    with open(p, "wb") as f:
+        f.write(bytes(mut))
+    with pytest.raises(RuntimeError):
+        native.load_batch_native([p], 64, 3.0)
