@@ -61,6 +61,17 @@ def _mesh_size(mesh: Optional[Mesh]) -> int:
     return 1 if mesh is None else int(np.prod(mesh.devices.shape))
 
 
+def _data_size(mesh: Optional[Mesh]) -> int:
+    """Devices along the ``data`` axis (a 2-D ('data','space') training
+    mesh shards the pool over ``data`` only; parallel/spatial.py)."""
+    if mesh is None:
+        return 1
+    try:
+        return int(dict(mesh.shape)["data"])
+    except Exception:
+        return _mesh_size(mesh)
+
+
 def stage_resident_pool(arrays: Dict[str, np.ndarray], mesh: Optional[Mesh]
                         ) -> Dict[str, jax.Array]:
     """Device-put a resident data pool, sharded on the slice axis.
@@ -72,13 +83,13 @@ def stage_resident_pool(arrays: Dict[str, np.ndarray], mesh: Optional[Mesh]
     axis 0, so each chip holds ~N/n_dev slices and the whole pool scales
     with the slice count.
     """
-    n_dev = _mesh_size(mesh)
-    if n_dev == 1:
+    if _mesh_size(mesh) == 1:
         return {k: jax.device_put(v) for k, v in arrays.items()}
+    n_data = _data_size(mesh)
     out = {}
     for k, v in arrays.items():
         n = v.shape[0]
-        pad = (-n) % n_dev
+        pad = (-n) % n_data
         if pad:
             v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
         out[k] = jax.device_put(
@@ -102,8 +113,7 @@ def make_resident_gather(mesh: Optional[Mesh]):
     """
     import jax.numpy as jnp
 
-    n_dev = _mesh_size(mesh)
-    if n_dev == 1:
+    if _mesh_size(mesh) == 1:
         return lambda pool, idx: {k: jnp.take(v, idx, axis=0)
                                   for k, v in pool.items()}
 

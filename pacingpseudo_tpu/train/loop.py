@@ -368,11 +368,10 @@ def train_driver(config: ExperimentConfig, data_root: str,
     use_resident = (config.device_resident_data == "on"
                     or (config.device_resident_data == "auto"
                         and pool_bytes < n_dev * 6 * 2 ** 30))
-    if use_resident and n_space > 1:
-        # The resident gather's shard_map is written against the 1-D data
-        # mesh; spatial sharding takes the streaming path.
-        logging.info("spatial_shards > 1: disabling device-resident mode")
-        use_resident = False
+    # With spatial sharding the pool stays sharded over 'data' only
+    # (replicated across 'space'); the gather's psum_scatter rides the
+    # data axis and the step's sharding constraint spreads H afterwards.
+    mesh_multi = mesh if (n_dev > 1 or n_space > 1) else None
     resident_pool = None
     if use_resident:
         logging.info("staging %d slices (%.2f GB, /%d chips) in device memory",
@@ -407,7 +406,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
             np.minimum(idx, n_val - 1).reshape(n_blocks, config.batch_size),
             jnp.int32)
         resident_eval = make_resident_eval_fn(config, model, upper_bound,
-                                              mesh=mesh if n_dev > 1 else None)
+                                              mesh=mesh_multi)
 
     rem = steps_per_epoch % chunk
 
@@ -417,7 +416,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
                           jit=False, spatial_constraint=spatial_constraint)
         single = jax.jit(body, donate_argnums=(0,))
         if use_resident:
-            rmesh = mesh if n_dev > 1 else None
+            rmesh = mesh_multi
             chunked = make_resident_chunked_train_step(body, chunk, mesh=rmesh)
             chunked_rem = (make_resident_chunked_train_step(body, rem,
                                                             mesh=rmesh)
@@ -440,7 +439,7 @@ def train_driver(config: ExperimentConfig, data_root: str,
         fig_forward = _make_figure_forward(model)
         if use_resident:
             from pacingpseudo_tpu.parallel import make_resident_gather
-            fig_gather = make_resident_gather(mesh if n_dev > 1 else None)
+            fig_gather = make_resident_gather(mesh_multi)
     valdice = np.zeros(config.epoch)
     if start_epoch > 0:
         # keep pre-resume history in valdice.npz (reference artifact parity)

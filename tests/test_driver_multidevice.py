@@ -116,3 +116,17 @@ def test_driver_spatial_sharding_matches_single(data_root, tmp_path):
     # tight (rtol 2e-4) in test_sharding.py.
     assert np.allclose(vl1, vl_sp, rtol=1e-2), (vl1, vl_sp)
     assert np.allclose(vd1, vd_sp, atol=2e-2), (vd1, vd_sp)
+
+
+def test_driver_spatial_plus_resident_matches_single(data_root, tmp_path):
+    """Resident pool + spatial sharding combine: pool sharded over 'data'
+    (replicated across 'space'), psum_scatter gather over the data axis,
+    activations H-sharded inside the step."""
+    vd1, vl1 = _train(_config(num_devices=1, device_resident_data="on"),
+                      data_root, tmp_path, "spr_n1")
+    vd_sp, vl_sp = _train(_config(num_devices=8, spatial_shards=2,
+                                  device_resident_data="on"),
+                          data_root, tmp_path, "spr_n8s2")
+    assert vd1.shape == vd_sp.shape == (EP,)
+    assert np.allclose(vl1, vl_sp, rtol=1e-2), (vl1, vl_sp)
+    assert np.allclose(vd1, vd_sp, atol=2e-2), (vd1, vd_sp)
