@@ -43,12 +43,18 @@ def make_phantom(rng: np.random.RandomState, size: Tuple[int, int],
 def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
                             size: Tuple[int, int], num_classes: int,
                             ignored_index: int, folds: int = 5,
-                            modality: str = "t1", seed: int = 0) -> List[str]:
+                            modality: str = "t1", seed: int = 0,
+                            size_jitter: int = 0) -> List[str]:
     """Write a reference-layout synthetic dataset under ``root``.
 
     Produces ``<root>/<ds>/slices/*.npz`` plus the five-fold split txts in
     the reference's directory convention (splits.py), so the real CLI
     drivers run unmodified against it.
+
+    ``size_jitter`` > 0 varies each slice's extent uniformly in
+    ``[size - jitter, size + jitter]`` per axis — ACDC/LVSC-style
+    heterogeneous slice geometry (their drivers crop/embed per slice;
+    CHAOS alone is uniformly 256x256).
     """
     rng = np.random.RandomState(seed)
     ds_dir = "chaos" if dataset in ("chaos", "chaost1", "chaost2") else dataset
@@ -57,7 +63,11 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
 
     rel_paths = []
     for i in range(num_slices):
-        img, lab = make_phantom(rng, size, num_classes)
+        sz = size
+        if size_jitter:
+            sz = (int(rng.randint(size[0] - size_jitter, size[0] + size_jitter + 1)),
+                  int(rng.randint(size[1] - size_jitter, size[1] + size_jitter + 1)))
+        img, lab = make_phantom(rng, sz, num_classes)
         scb = generate_scribble(lab, num_classes, ignored_index)
         uid = f"syn{i:04d}"
         rel = os.path.join("slices", uid + ".npz")

@@ -130,3 +130,16 @@ def test_driver_spatial_plus_resident_matches_single(data_root, tmp_path):
     assert vd1.shape == vd_sp.shape == (EP,)
     assert np.allclose(vl1, vl_sp, rtol=1e-2), (vl1, vl_sp)
     assert np.allclose(vd1, vd_sp, atol=2e-2), (vd1, vd_sp)
+
+
+def test_driver_variable_size_slices(tmp_path):
+    """ACDC/LVSC-style heterogeneous slice extents run the full driver:
+    the loader derives a common canvas, the aug engine crops/embeds per
+    live extent, eval masks the padded region (real-data readiness)."""
+    root = str(tmp_path / "var")
+    spec = DATASETS["acdc"]
+    write_synthetic_dataset(root, "acdc", 20, (HW, HW), spec.num_classes,
+                            spec.ignored_index, seed=9, size_jitter=8)
+    vd, vl = _train(_config(), root, tmp_path, "varsz")
+    assert vd.shape == (EP,) and np.all(np.isfinite(vd))
+    assert np.all(vl > 0)
