@@ -192,6 +192,9 @@ class ExperimentConfig:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.use_pallas_loss in ("auto", "on", "off")
         assert self.device_resident_data in ("auto", "on", "off")
+        assert self.aug_image_interp in ("bicubic", "bilinear"), \
+            self.aug_image_interp
+        assert self.spatial_shards >= 1, self.spatial_shards
         if self.do_memory:
             assert self.do_aux_path, "do_memory requires do_aux_path"
         return self

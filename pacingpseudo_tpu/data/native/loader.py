@@ -40,7 +40,10 @@ def _load_lib():
     _CPP = os.path.join(_DIR, "npz_loader.cpp")
     stale = (not os.path.exists(_SO)
              or os.path.getmtime(_SO) < os.path.getmtime(_CPP))
-    if stale and not _build() and not os.path.exists(_SO):
+    if stale and not _build():
+        # Never load a .so older than its source: after a signature change
+        # the ctypes bindings below could call mismatched native code.
+        # Returning None degrades safely to the Python loader.
         return None
     try:
         lib = ctypes.CDLL(_SO)

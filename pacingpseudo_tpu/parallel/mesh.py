@@ -117,6 +117,16 @@ def make_resident_gather(mesh: Optional[Mesh]):
         return lambda pool, idx: {k: jnp.take(v, idx, axis=0)
                                   for k, v in pool.items()}
 
+    def _scatter_dtype(dt):
+        """Exact collective dtype per payload: each global index lives in
+        exactly ONE shard, so the psum sums a single nonzero contribution —
+        any dtype that represents the original values is exact.  Keep
+        half-width floats half-width; widen sub-int32 ints (TPU reduce
+        support) and anything else to a 4-byte type."""
+        if jnp.issubdtype(dt, jnp.floating):
+            return dt if jnp.dtype(dt).itemsize <= 2 else jnp.float32
+        return jnp.int32
+
     def _local(pool_l, idx):
         d = jax.lax.axis_index("data")
         out = {}
@@ -126,9 +136,7 @@ def make_resident_gather(mesh: Optional[Mesh]):
             hit = (loc >= 0) & (loc < local_n)
             got = jnp.take(v, jnp.clip(loc, 0, local_n - 1), axis=0)
             mask = hit.reshape((-1,) + (1,) * (got.ndim - 1))
-            # f16 is exact for every pool payload (u8 labels, int sizes
-            # < 2048, f16 images); collectives stay half-width.
-            got = jnp.where(mask, got, 0).astype(jnp.float16)
+            got = jnp.where(mask, got, 0).astype(_scatter_dtype(v.dtype))
             got = jax.lax.psum_scatter(got, "data", scatter_dimension=0,
                                        tiled=True)
             out[k] = got.astype(v.dtype)
