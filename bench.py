@@ -131,19 +131,21 @@ def main():
     # so the perf story rests on absolute measured numbers rather than the
     # 25 slices/sec reference estimate.
     V5E_PEAK_BF16 = 197e12  # TPU v5e peak dense bf16 FLOP/s
-    flops_per_step = None
+    flops_per_step_xla = None
     try:
         cost = (jax.jit(step_inner).lower(state, raws[0], key)
                 .compile().cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) or None
+        flops_per_step_xla = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
-    if not flops_per_step:
-        # Analytic fallback: 19.65M-param UNet at 256^2/os8, fused 2N
-        # streams fwd+bwd (~3x fwd) — ~340 GFLOP/slice (see module docstring).
-        flops_per_step = 340e9 * BATCH
+    # MFU counts USEFUL model FLOPs: the analytic 19.65M-param UNet at
+    # 256^2/os8, fused 2N streams fwd+bwd (~3x fwd) — ~340 GFLOP/slice.
+    # The XLA cost-analysis count (reported separately) additionally
+    # includes the S2D stage-1 kernels' structural-zero FLOPs (ops/s2d.py)
+    # and would overstate utilisation.
+    flops_per_step = 340e9 * BATCH
     mfu = flops_per_step / dt / V5E_PEAK_BF16
 
     # Aug-only timing: scan the augmentation program alone.
@@ -224,6 +226,7 @@ def main():
         "vs_baseline": round(slices_per_sec / REFERENCE_SLICES_PER_SEC_ESTIMATE, 2),
         "mfu": round(mfu, 4),
         "flops_per_step": flops_per_step,
+        "flops_per_step_xla": flops_per_step_xla,
         "breakdown_ms": {"step": round(step_ms, 2),
                          "aug": round(aug_ms, 2),
                          "model_fwd_bwd_opt": round(step_ms - aug_ms, 2)},

@@ -148,6 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused-warp image kernel: bicubic matches the "
                         "reference's cubic resamples (AUG_PARITY.json); "
                         "bilinear trades ~4%% throughput parity for speed")
+    p.add_argument("--s2d_hires", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="space-to-depth execution of the high-res stage-1 "
+                        "blocks (exact math, measured ~2.5x faster on TPU; "
+                        "--no-s2d_hires restores the plain layout)")
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--device_resident_data", type=str, default="auto",
                    choices=["auto", "on", "off"])
@@ -231,6 +236,7 @@ def config_from_args(args) -> ExperimentConfig:
         num_devices=args.num_devices,
         spatial_shards=args.spatial_shards,
         aug_image_interp=args.aug_image_interp,
+        s2d_hires=args.s2d_hires,
         steps_per_dispatch=args.steps_per_dispatch,
         device_resident_data=args.device_resident_data,
         input_size=tuple(args.input_size) if args.input_size else None,

@@ -159,6 +159,9 @@ class ExperimentConfig:
     aug_image_interp: str = "bicubic"     # fused-warp image kernel: "bicubic"
                                           # (measured parity, AUG_PARITY.json)
                                           # or "bilinear" (max throughput)
+    s2d_hires: bool = True                # space-to-depth execution of the
+                                          # high-res stage-1 blocks (exact
+                                          # math, ~2.5x faster; ops/s2d.py)
     steps_per_dispatch: int = 8           # train steps scanned into one XLA
                                           # dispatch (amortises host->device
                                           # dispatch latency; 1 disables)

@@ -63,6 +63,7 @@ class PacingPseudoModel(nn.Module):
     aux_on_strong: bool = True
     # TPU knobs
     fuse_streams: bool = True
+    s2d_hires: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -75,6 +76,7 @@ class PacingPseudoModel(nn.Module):
             is_stride_conv=self.is_stride_conv,
             is_trans_conv=self.is_trans_conv,
             elab_end_points=True,
+            s2d_hires=self.s2d_hires,
             dtype=self.dtype,
             name="backbone",
         )

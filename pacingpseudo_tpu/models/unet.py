@@ -28,11 +28,21 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import random
 
 from pacingpseudo_tpu.ops.resize import upsample2x_align_corners
+from pacingpseudo_tpu.ops.s2d import (
+    depth_to_space,
+    expand_kernel1x1,
+    expand_kernel3x3,
+    group_concat,
+    group_max_pool,
+    space_to_depth,
+    upsample2x_align_corners_s2d,
+)
 
 Dtype = Any
 
@@ -176,6 +186,118 @@ class DecBlock(nn.Module):
         return x
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth (S2D) variants of the high-resolution stage-1 blocks.
+#
+# Parameters are LOGICAL — identical names, shapes and init draws to the
+# plain ConvLayer/DoubleConv path (conv/{kernel,bias}, norm/{scale,bias} +
+# batch_stats norm/{mean,var}) — so checkpoints, the torch importer/
+# exporter and the parity tests are oblivious to the layout.  The dense
+# S2D kernels are expanded from the logical parameters inside the traced
+# forward (ops/s2d.py), so autodiff returns exact logical gradients.
+# Measured on-chip: the stage-1 DoubleConv fwd+bwd drops 8.4 -> 3.3 ms
+# (XLA's conv emitter runs 32-channel 256^2 convs at ~6% MFU; the
+# 128-lane S2D formulation trades 4x structural-zero FLOPs for ~2.5x
+# wall-clock).
+# ---------------------------------------------------------------------------
+
+
+class _S2DConv(nn.Module):
+    """Logical conv params, dense S2D execution (name it "conv")."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2):
+        cin = x2.shape[-1] // 4
+        ks = self.kernel_size
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (ks, ks, cin, self.features))
+        bias = self.param("bias", make_torch_bias_init(ks * ks * cin),
+                          (self.features,))
+        dense = (expand_kernel3x3(kernel) if ks == 3
+                 else expand_kernel1x1(kernel)).astype(self.dtype)
+        pad = 1 if ks == 3 else 0
+        y = jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), dense, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+        return y + jnp.tile(bias, 4).astype(self.dtype)
+
+
+class _S2DBatchNorm(nn.Module):
+    """flax BatchNorm semantics with per-LOGICAL-channel statistics over
+    the four (p, q) groups (name it "norm"; params/stats shapes (C,))."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x2, use_running_average: bool):
+        c = x2.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x2.astype(jnp.float32)
+        if use_running_average:
+            m, v = ra_mean.value, ra_var.value
+        else:
+            g = xf.reshape(*xf.shape[:-1], 4, c)
+            m = jnp.mean(g, axis=(0, 1, 2, 3))
+            v = jnp.mean(jnp.square(g), axis=(0, 1, 2, 3)) - jnp.square(m)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
+        y = (xf - jnp.tile(m, 4)) * jax.lax.rsqrt(jnp.tile(v, 4) + self.epsilon)
+        return y * jnp.tile(scale, 4) + jnp.tile(bias, 4)
+
+
+class S2DConvLayer(nn.Module):
+    """S2D Conv -> BatchNorm -> LeakyReLU with ConvLayer-identical params."""
+
+    features: int
+    negative_slope: float = 1e-2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2, train: bool):
+        x2 = _S2DConv(self.features, 3, dtype=self.dtype, name="conv")(x2)
+        x2 = _S2DBatchNorm(name="norm")(x2, use_running_average=not train)
+        return nn.leaky_relu(x2.astype(self.dtype),
+                             negative_slope=self.negative_slope)
+
+
+class S2DDoubleConv(nn.Module):
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2, train: bool):
+        x2 = S2DConvLayer(self.features, dtype=self.dtype,
+                          name="conv_layer1")(x2, train)
+        x2 = S2DConvLayer(self.features, dtype=self.dtype,
+                          name="conv_layer2")(x2, train)
+        return x2
+
+
+class _S2DBlock(nn.Module):
+    """Param-scope wrapper so the S2D DoubleConv lands at
+    ``<enc|dec>_blockK/conv_block`` exactly like EncBlock/DecBlock."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2, train: bool):
+        return S2DDoubleConv(self.features, dtype=self.dtype,
+                             name="conv_block")(x2, train)
+
+
 class UNet(nn.Module):
     """The segmentation backbone; returns a dict of named end-points.
 
@@ -193,6 +315,7 @@ class UNet(nn.Module):
     is_stride_conv: bool = False
     is_trans_conv: bool = False
     elab_end_points: bool = False
+    s2d_hires: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -204,10 +327,30 @@ class UNet(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
 
-        enc1 = EncBlock(ch[0], do_subsamp=False, is_stride_conv=self.is_stride_conv,
-                        dtype=dt, name="enc_block1")(x, train)
-        enc2 = EncBlock(ch[1], is_stride_conv=self.is_stride_conv,
-                        dtype=dt, name="enc_block2")(enc1, train)
+        # S2D applies to the max-pool/bilinear variant on even extents
+        # (every canvas is a multiple of 32); stride/trans-conv variants
+        # keep the plain path.
+        use_s2d = (self.s2d_hires and not self.is_stride_conv
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+
+        if use_s2d:
+            enc1_s2d = _S2DBlock(ch[0], dtype=dt, name="enc_block1")(
+                space_to_depth(x), train)
+            enc1 = depth_to_space(enc1_s2d)   # end-points view (DCE'd if unused)
+            # EncBlock2's 2x2 max-pool == the S2D channel-group max: feed the
+            # pooled plain tensor and skip the block's own subsampling.
+            # (Stage-2 S2D was measured NET NEGATIVE: at 64 channels XLA's
+            # conv is efficient enough that the 4x structural-zero FLOPs
+            # plus transposes lose — 168 vs 176 slices/sec.)
+            enc2 = EncBlock(ch[1], do_subsamp=False,
+                            is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block2")(
+                group_max_pool(enc1_s2d), train)
+        else:
+            enc1 = EncBlock(ch[0], do_subsamp=False, is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block1")(x, train)
+            enc2 = EncBlock(ch[1], is_stride_conv=self.is_stride_conv,
+                            dtype=dt, name="enc_block2")(enc1, train)
         enc3 = EncBlock(ch[2], is_stride_conv=self.is_stride_conv,
                         dtype=dt, name="enc_block3")(enc2, train)
         enc4 = EncBlock(ch[3], is_stride_conv=self.is_stride_conv,
@@ -243,19 +386,26 @@ class UNet(nn.Module):
                         dtype=dt, name="dec_block3")(dec4, enc3, train)
         dec2 = DecBlock(ch[1], up_factor=2, is_trans_conv=self.is_trans_conv,
                         dtype=dt, name="dec_block2")(dec3, enc2, train)
-        dec1 = DecBlock(ch[0], up_factor=2, is_trans_conv=self.is_trans_conv,
-                        dtype=dt, name="dec_block1")(dec2, enc1, train)
+        if use_s2d:
+            cat = group_concat(upsample2x_align_corners_s2d(dec2), enc1_s2d)
+            dec1_s2d = _S2DBlock(ch[0], dtype=dt, name="dec_block1")(cat, train)
+            dec1 = depth_to_space(dec1_s2d)   # end-points view (DCE'd if unused)
+            logits = depth_to_space(_S2DConv(
+                self.num_classes, 1, dtype=dt, name="final_conv")(dec1_s2d))
+        else:
+            dec1 = DecBlock(ch[0], up_factor=2, is_trans_conv=self.is_trans_conv,
+                            dtype=dt, name="dec_block1")(dec2, enc1, train)
 
-        fan_in = dec1.shape[-1]
-        logits = nn.Conv(
-            features=self.num_classes,
-            kernel_size=(1, 1),
-            dtype=dt,
-            param_dtype=jnp.float32,
-            kernel_init=torch_conv_kernel_init,
-            bias_init=make_torch_bias_init(fan_in),
-            name="final_conv",
-        )(dec1)
+            fan_in = dec1.shape[-1]
+            logits = nn.Conv(
+                features=self.num_classes,
+                kernel_size=(1, 1),
+                dtype=dt,
+                param_dtype=jnp.float32,
+                kernel_init=torch_conv_kernel_init,
+                bias_init=make_torch_bias_init(fan_in),
+                name="final_conv",
+            )(dec1)
         logits = logits.astype(jnp.float32)
 
         if not self.elab_end_points:

@@ -1,0 +1,123 @@
+"""Space-to-depth (S2D) reformulation of the high-resolution UNet stages.
+
+Motivation (measured on the chip, NOTES.md round-2): XLA's TPU conv
+emitter runs the 32-channel 256^2 stage-1 convolutions at ~6% MFU — the
+32-wide contraction/output underutilises the 128-lane MXU.  Packing 2x2
+pixel blocks into channels turns the same stage into 128-channel convs at
+128^2: the equivalent dense kernel carries 4x the FLOPs (structural
+zeros) but runs ~2x faster wall-clock, and the fused BN statistics /
+elementwise chains run at full lane width — a stage-1 DoubleConv
+fwd+bwd measured 8.4 -> 3.3 ms.
+
+The reformulation is EXACT (same linear map, float-order differences
+only):
+
+  out[2i+a, 2j+b, co] = sum_{dy,dx,ci} in[2i+a+dy-1, 2j+b+dx-1, ci] * K[dy,dx,ci,co]
+
+becomes a 3x3 conv on the S2D grid with the dense kernel built by
+:func:`expand_kernel3x3` from the LOGICAL (3,3,Cin,Cout) parameter — so
+parameters, checkpoints, and torch interop are unchanged, and autodiff
+through the (linear) expansion yields exact logical-kernel gradients.
+
+S2D channel order is ``(p, q, ci)`` with ``ci`` minor: lane index
+``(p*2 + q) * C + ci``.  Under this order:
+  * 2x2 max-pool of the original tensor == a max over the 4 channel
+    groups (S2D exits to the next stage's plain layout for free);
+  * per-logical-channel BatchNorm statistics reduce over (N, H, W, 4);
+  * align-corners 2x upsample lands directly in S2D via the even/odd
+    rows of the interpolation matrices (ops/resize.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pacingpseudo_tpu.ops.resize import _interp_matrix
+
+
+def space_to_depth(x):
+    """(N, 2h, 2w, C) -> (N, h, w, 4C), channel order (p, q, ci)."""
+    n, H, W, c = x.shape
+    x = x.reshape(n, H // 2, 2, W // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, H // 2, W // 2, 4 * c)
+
+
+def depth_to_space(x2):
+    """(N, h, w, 4C) -> (N, 2h, 2w, C) — inverse of :func:`space_to_depth`."""
+    n, h, w, c4 = x2.shape
+    c = c4 // 4
+    x2 = x2.reshape(n, h, w, 2, 2, c)
+    return x2.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)
+
+
+def group_max_pool(x2):
+    """2x2/stride-2 max-pool of the ORIGINAL tensor, computed in S2D:
+    max over the 4 (p, q) channel groups -> plain (N, h, w, C)."""
+    n, h, w, c4 = x2.shape
+    c = c4 // 4
+    return jnp.max(x2.reshape(n, h, w, 4, c), axis=3)
+
+
+def group_concat(a2, b2):
+    """Concat two S2D tensors as the S2D of the channel-concat:
+    (p, q, [ciA; ciB]) ordering."""
+    n, h, w, ca4 = a2.shape
+    cb4 = b2.shape[-1]
+    a = a2.reshape(n, h, w, 4, ca4 // 4)
+    b = b2.reshape(n, h, w, 4, cb4 // 4)
+    return jnp.concatenate([a, b.astype(a.dtype)], axis=-1).reshape(
+        n, h, w, ca4 + cb4)
+
+
+def expand_kernel3x3(k_logical):
+    """Dense S2D kernel (3, 3, 4Cin, 4Cout) from a logical (3, 3, Cin, Cout).
+
+    Structural zeros everywhere except the taps derived from
+    ``ry = a + dy - 1 = 2U + p`` (rows) and the analogous column relation;
+    built with traced adds so parameter gradients flow back exactly.
+    """
+    kh, kw, cin, cout = k_logical.shape
+    assert (kh, kw) == (3, 3)
+    w2 = jnp.zeros((3, 3, 4 * cin, 4 * cout), k_logical.dtype)
+    for a in range(2):
+        for b in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ry, rx = a + dy - 1, b + dx - 1
+                    u, p = ry // 2, ry % 2
+                    v, q = rx // 2, rx % 2
+                    w2 = w2.at[u + 1, v + 1,
+                               (p * 2 + q) * cin:(p * 2 + q + 1) * cin,
+                               (a * 2 + b) * cout:(a * 2 + b + 1) * cout
+                               ].add(k_logical[dy, dx])
+    return w2
+
+
+def expand_kernel1x1(k_logical):
+    """Dense S2D kernel (1, 1, 4Cin, 4Cout) of a logical 1x1 conv
+    (block-diagonal over the four (p, q) groups)."""
+    _, _, cin, cout = k_logical.shape
+    w2 = jnp.zeros((1, 1, 4 * cin, 4 * cout), k_logical.dtype)
+    for g in range(4):
+        w2 = w2.at[0, 0, g * cin:(g + 1) * cin,
+                   g * cout:(g + 1) * cout].add(k_logical[0, 0])
+    return w2
+
+
+def upsample2x_align_corners_s2d(x):
+    """2x align-corners bilinear upsample of plain (N, h, w, C) producing
+    the S2D layout (N, h, w, 4C) of the (N, 2h, 2w, C) result directly —
+    the even/odd rows of the dense interpolation matrices
+    (ops/resize.py) applied as four matmul pairs, no transpose."""
+    n, h, w, c = x.shape
+    wh = _interp_matrix(h, 2 * h)
+    ww = _interp_matrix(w, 2 * w)
+    parts = []
+    for p in range(2):
+        whp = jnp.asarray(wh[p::2], x.dtype)
+        rows = jnp.einsum("oh,nhwc->nowc", whp, x)
+        for q in range(2):
+            wwq = jnp.asarray(ww[q::2], x.dtype)
+            parts.append(jnp.einsum("pw,nowc->nopc", wwq, rows))
+    return jnp.concatenate(
+        [p_[..., None, :] for p_ in parts], axis=-2).reshape(n, h, w, 4 * c)

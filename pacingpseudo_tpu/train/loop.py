@@ -186,6 +186,7 @@ def _build_model(config: ExperimentConfig, siamese: bool) -> PacingPseudoModel:
         aux_drop_prob=config.aux_drop_prob,
         aux_on_strong=config.aux_on_strong,
         fuse_streams=config.fuse_streams,
+        s2d_hires=config.s2d_hires,
         dtype=dtype,
     )
 

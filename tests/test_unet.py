@@ -99,3 +99,37 @@ def test_batch_stats_updated_in_train_mode():
     old = jax.tree.leaves(variables["batch_stats"])
     new = jax.tree.leaves(mutated["batch_stats"])
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_s2d_hires_matches_plain_layout(rng):
+    """The space-to-depth stage-1 execution (ops/s2d.py) is the SAME math:
+    identical param trees (names, shapes, init draws) and equal outputs in
+    both eval and train modes, including BN running-stat updates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pacingpseudo_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.randn(2, 64, 64, 1), jnp.float32)
+    mp = UNet(num_classes=4, output_stride=8, elab_end_points=True,
+              s2d_hires=False, dtype=jnp.float32)
+    ms = UNet(num_classes=4, output_stride=8, elab_end_points=True,
+              s2d_hires=True, dtype=jnp.float32)
+    vp = mp.init(jax.random.PRNGKey(0), x, train=False)
+    vs = ms.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(vp) == jax.tree.structure(vs)
+    for a, b in zip(jax.tree.leaves(vp), jax.tree.leaves(vs)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    o1 = mp.apply(vp, x, train=False)
+    o2 = ms.apply(vp, x, train=False)
+    for k in o1:
+        assert np.allclose(np.asarray(o1[k], np.float32),
+                           np.asarray(o2[k], np.float32), atol=1e-4), k
+
+    t1, s1 = mp.apply(vp, x, train=True, mutable=["batch_stats"])
+    t2, s2 = ms.apply(vp, x, train=True, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(t1["segmentation/logits"]),
+                       np.asarray(t2["segmentation/logits"]), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
