@@ -5,9 +5,9 @@ emitter runs the 32-channel 256^2 stage-1 convolutions at ~6% MFU — the
 32-wide contraction/output underutilises the 128-lane MXU.  Packing 2x2
 pixel blocks into channels turns the same stage into 128-channel convs at
 128^2: the equivalent dense kernel carries 4x the FLOPs (structural
-zeros) but runs ~2x faster wall-clock, and the fused BN statistics /
+zeros) but runs ~2.5x faster wall-clock, and the fused BN statistics /
 elementwise chains run at full lane width — a stage-1 DoubleConv
-fwd+bwd measured 8.4 -> 3.3 ms.
+fwd+bwd measured 8.4 -> 3.3 ms (~2.5x).
 
 The reformulation is EXACT (same linear map, float-order differences
 only):
@@ -52,10 +52,51 @@ def depth_to_space(x2):
 
 def group_max_pool(x2):
     """2x2/stride-2 max-pool of the ORIGINAL tensor, computed in S2D:
-    max over the 4 (p, q) channel groups -> plain (N, h, w, C)."""
+    max over the 4 (p, q) channel groups -> plain (N, h, w, C).
+
+    The BACKWARD pass must match ``nn.max_pool``/torch ``MaxPool2d``
+    exactly: all gradient to the FIRST maximum in window scan order
+    (a plain ``jnp.max`` reduction splits it among ties — and ties are
+    pervasive on constant background regions).  The (p, q) channel order
+    is row-major, the same scan order as the spatial (2, 2) window, so
+    ``argmax`` (first-max) reproduces the plain layout's routing.
+    Implemented as a custom VJP — the equivalent ``lax.reduce_window``
+    lowering measured ~4.6 ms/step slower (its select-and-scatter
+    backward), while this is an elementwise one-hot scatter.
+    """
+    return _group_max_pool(x2)
+
+
+import jax as _jax  # noqa: E402  (module-level for the custom_vjp defs)
+
+
+@_jax.custom_vjp
+def _group_max_pool(x2):
     n, h, w, c4 = x2.shape
     c = c4 // 4
     return jnp.max(x2.reshape(n, h, w, 4, c), axis=3)
+
+
+def _gmp_fwd(x2):
+    n, h, w, c4 = x2.shape
+    c = c4 // 4
+    g = x2.reshape(n, h, w, 4, c)
+    idx = jnp.argmax(g, axis=3)          # first max on ties (scan order)
+    # residuals must be JAX values: idx carries the shapes, the empty
+    # token carries x2's dtype
+    return jnp.max(g, axis=3), (idx, jnp.zeros((0,), x2.dtype))
+
+
+def _gmp_bwd(res, ct):
+    idx, token = res
+    n, h, w, c = idx.shape
+    sel = (idx[:, :, :, None, :] ==
+           jnp.arange(4, dtype=idx.dtype)[None, None, None, :, None])
+    g = jnp.where(sel, ct[:, :, :, None, :], 0).astype(token.dtype)
+    return (g.reshape(n, h, w, 4 * c),)
+
+
+_group_max_pool.defvjp(_gmp_fwd, _gmp_bwd)
 
 
 def group_concat(a2, b2):
