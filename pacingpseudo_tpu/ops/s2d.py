@@ -29,8 +29,8 @@ S2D channel order is ``(p, q, ci)`` with ``ci`` minor: lane index
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pacingpseudo_tpu.ops.resize import _interp_matrix
 
@@ -67,10 +67,7 @@ def group_max_pool(x2):
     return _group_max_pool(x2)
 
 
-import jax as _jax  # noqa: E402  (module-level for the custom_vjp defs)
-
-
-@_jax.custom_vjp
+@jax.custom_vjp
 def _group_max_pool(x2):
     n, h, w, c4 = x2.shape
     c = c4 // 4
