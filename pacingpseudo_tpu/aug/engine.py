@@ -73,6 +73,66 @@ def _randint_traced(key, maxval_inclusive):
     return jnp.floor(u * (maxval_inclusive.astype(jnp.float32) + 1.0)).astype(jnp.int32)
 
 
+# Residual amplitude factor of the low-res elastic pipeline vs the analytic
+# model below, measured on the CPU backend (tools/aug_parity.py
+# measure_elastic_field, N=64 fields at sigma 9/11/13): the discrete-kernel
+# model alone leaves a ~2.2% one-sided deficit traced to the align_corners
+# upsample scale ((S-1)/(fh-1) > ds) and edge effects.  Constant across the
+# sigma range to <0.3%.
+_ELASTIC_RESIDUAL = 0.978
+
+
+def elastic_amplitude_correction(sigma, ds: int, radius: int):
+    """Amplitude calibration for the 1/``ds``-resolution elastic field.
+
+    The reference field is full-resolution white noise U(-1,1) blurred with a
+    Gaussian of the *traced* ``sigma`` (augmentations.py:264-265, scipy
+    truncate=4).  Ours is coarse noise blurred with ``sigma/ds`` then
+    bilinearly upsampled; both are linear in the noise, so their RMS ratio is
+    the ratio of the composed filters' L2 norms — computable in closed form
+    from the discrete 1-D kernels.  For the bilinear phase t ~ U[0,1) between
+    knots sharing blurred noise, E[((1-t)k_m + t k_{m+1})^2 summed] =
+    (2*sum(k^2) + sum(k_m k_{m+1})) / 3.  Multiplying the field by this
+    correction (x the measured residual) lands the RMS ratio at 1.0 across
+    the sigma range (AUG_PARITY.json elastic_field), closing the ~6% deficit
+    flagged in round 2.
+    """
+    # reference kernel: radius int(4*sigma + 0.5); static 64-tap support
+    # covers sigma <= 15.9 (configs use 9..13)
+    i = jnp.arange(-64, 65, dtype=jnp.float32)
+    g = jnp.exp(-0.5 * jnp.square(i / jnp.maximum(sigma, 1e-6)))
+    g = jnp.where(jnp.abs(i) <= jnp.floor(4.0 * sigma + 0.5), g, 0.0)
+    g = g / jnp.sum(g)
+    ref_l2 = jnp.sum(g * g)          # 1-D factor; 2-D RMS factor = ref_l2
+
+    sc = jnp.maximum(sigma / ds, 1e-6)
+    j = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * jnp.square(j / sc))
+    k = k / jnp.sum(k)
+    a = jnp.sum(k * k)
+    b = jnp.sum(k[:-1] * k[1:])
+    ours_l2 = (2.0 * a + b) / 3.0 / ds
+    return ref_l2 / (ours_l2 * _ELASTIC_RESIDUAL)
+
+
+def make_elastic_field(key, out_h: int, out_w: int, sigma, alpha,
+                       ds: int, radius: int):
+    """One calibrated displacement-field axis on the (out_h, out_w) canvas.
+
+    Band-limited generation: coarse white noise, blur at ``sigma/ds``,
+    bilinear upsample (MXU matmuls), amplitude ``alpha/ds`` x the closed-form
+    calibration — matching the reference full-resolution field's RMS and
+    (to +2px autocorrelation half-width) smoothness at ~1/64 the blur cost.
+    """
+    fh, fw = max(out_h // ds, 2), max(out_w // ds, 2)
+    radius = min(radius, fh - 1, fw - 1)  # reflect-pad bound
+    amp = alpha / ds * elastic_amplitude_correction(sigma, ds, radius)
+    noise = jax.random.uniform(key, (fh, fw)) * 2.0 - 1.0
+    low = separable_gaussian_blur(noise, sigma / ds, radius)
+    up = bilinear_resize_align_corners(low[None, :, :, None], out_h, out_w)
+    return up[0, :, :, 0] * amp
+
+
 def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     """Apply the fused base pipeline to one sample.
 
@@ -179,17 +239,12 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     rot_valid = (qy >= 0) & (qy <= new_h - 1) & (qx >= 0) & (qx <= new_w - 1)
 
     # elastic displacement, evaluated on the static canvas grid; generated
-    # at low resolution (see BaseAugParams.elastic_field_downscale)
+    # at low resolution with calibrated amplitude (make_elastic_field)
     ds = p.elastic_field_downscale
-    fh, fw = max(ch // ds, 2), max(cw // ds, 2)
-    radius = min(p.elastic_blur_radius, fh - 1, fw - 1)  # reflect-pad bound
-    amp = alpha / ds  # amplitude correction for the coarser white noise
 
     def _field(key):
-        noise = jax.random.uniform(key, (fh, fw)) * 2.0 - 1.0
-        low = separable_gaussian_blur(noise, sigma / ds, radius)
-        up = bilinear_resize_align_corners(low[None, :, :, None], ch, cw)
-        return up[0, :, :, 0] * amp
+        return make_elastic_field(key, ch, cw, sigma, alpha, ds,
+                                  p.elastic_blur_radius)
 
     field_y = _field(keys[15])
     field_x = _field(jax.random.fold_in(keys[15], 1))

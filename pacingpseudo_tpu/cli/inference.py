@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial_shards", type=int, default=1,
                    help="shard activation height over a 'space' mesh axis "
                         "(devices split as data x space; parallel/spatial.py)")
+    p.add_argument("--patient_regex", type=str, default="",
+                   help="regex whose first capture group maps a slice uid to "
+                        "its patient id for the per-patient aggregation "
+                        "(default: first '_'-separated token)")
     return p
 
 
@@ -100,6 +104,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         num_workers=args.num_workers,
         spatial_shards=args.spatial_shards,
+        patient_regex=args.patient_regex,
     )
 
 

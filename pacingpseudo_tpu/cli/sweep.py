@@ -26,6 +26,9 @@ def main(argv=None):
     p = build_parser()
     p.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     p.add_argument("--sweep_out", type=str, default="")
+    p.add_argument("--patient_regex", type=str, default="",
+                   help="uid -> patient id regex for the per-patient "
+                        "aggregation (evals/infer.py patient_key)")
     args = p.parse_args(argv)
 
     from pacingpseudo_tpu.config import DATASETS
@@ -63,8 +66,12 @@ def main(argv=None):
                 max_ch=args.max_ch, output_stride=args.output_stride,
                 is_stride_conv=args.is_stride_conv,
                 is_trans_conv=args.is_trans_conv),
-            compute_dtype=args.compute_dtype)
+            compute_dtype=args.compute_dtype,
+            patient_regex=args.patient_regex)
         results[fold] = {"dice": res["dice"], "hd95": res["hd95"],
+                         "dice_per_patient": res["dice_per_patient"],
+                         "hd95_per_patient": res["hd95_per_patient"],
+                         "num_patients": res["num_patients"],
                          "run_dir": run_dir}
 
     dices = [results[f]["dice"] for f in args.folds]
@@ -73,8 +80,14 @@ def main(argv=None):
         "dataset": eval_ds,
         "session": args.session,
         "folds": {str(f): results[f] for f in args.folds},
+        # per-slice averages (what both drivers log) AND the published
+        # per-patient protocol (README.md:106) side by side
         "overall_dice": float(np.mean(dices)),
         "overall_hd95": float(np.nanmean(hd95s)),
+        "overall_dice_per_patient": float(np.mean(
+            [results[f]["dice_per_patient"] for f in args.folds])),
+        "overall_hd95_per_patient": float(np.nanmean(
+            [results[f]["hd95_per_patient"] for f in args.folds])),
     }
 
     out_dir = args.sweep_out or os.path.join(args.root, f"sweep-{args.tag}")

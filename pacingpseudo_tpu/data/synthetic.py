@@ -69,7 +69,9 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
                   int(rng.randint(size[1] - size_jitter, size[1] + size_jitter + 1)))
         img, lab = make_phantom(rng, sz, num_classes)
         scb = generate_scribble(lab, num_classes, ignored_index)
-        uid = f"syn{i:04d}"
+        # patient-grouped uids (24 slices per pseudo-patient) so the
+        # per-patient aggregation protocol (evals/infer.py) is exercised
+        uid = f"pat{i // 24:03d}_slice{i % 24:03d}"
         rel = os.path.join("slices", uid + ".npz")
         np.savez(os.path.join(slice_dir, uid + ".npz"),
                  uid=uid, img=img, lab=lab.astype(np.float32),

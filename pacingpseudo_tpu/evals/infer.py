@@ -14,9 +14,11 @@ device batch — the host/device split called for in SURVEY.md §7.
 """
 from __future__ import annotations
 
+import collections
 import concurrent.futures
 import logging
 import os
+import re
 import time
 from typing import Dict, List
 
@@ -38,10 +40,52 @@ from pacingpseudo_tpu.train.checkpoint import (
 from pacingpseudo_tpu.utils import AvgMeter
 
 
+def patient_key(uid: str, patient_regex: str = "") -> str:
+    """Patient identifier for the published per-patient aggregation.
+
+    The reference README tables average each anatomy over *patients*, then
+    over anatomies (README.md:106); slice uids carry the patient as their
+    first ``_``-separated token in the common layouts (chaos ``<pat>_<sl>``,
+    acdc ``patientXXX_frame_slice``, lvsc ``<SC-..-NN>_...``).  A custom
+    ``patient_regex`` (first capture group) overrides the default split.
+    Uids with no separator each form their own group, degrading gracefully
+    to per-slice aggregation.
+    """
+    if patient_regex:
+        m = re.match(patient_regex, uid)
+        if m and m.groups():
+            return m.group(1)
+    return uid.split("_")[0]
+
+
+def aggregate_per_patient(uids, arr: np.ndarray, num_classes: int,
+                          patient_regex: str = "") -> Dict[str, object]:
+    """Published-protocol aggregation (README.md:106, inference.py:185-192):
+    per class, average the slice values within each patient (NaN-skipping,
+    like the per-slice AvgMeters), then average over patients; the overall
+    number averages classes 1..C-1 (background excluded)."""
+    import warnings
+    groups: Dict[str, List[int]] = {}
+    for i, uid in enumerate(uids):
+        groups.setdefault(patient_key(str(uid), patient_regex), []).append(i)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+        per_patient = {pat: np.nanmean(arr[idx], axis=0)
+                       for pat, idx in groups.items()}   # (num_classes,) each
+        class_means = np.nanmean(np.stack(list(per_patient.values())), axis=0)
+        overall = float(np.nanmean(class_means[1:num_classes]))
+    return {
+        "overall": overall,
+        "class_means": [float(x) for x in class_means],
+        "num_patients": len(groups),
+    }
+
+
 def run_inference(dataset: str, fold: int, checkpoint_path: str,
                   data_root: str, run_dir: str, batch_size: int = 8,
                   model_kwargs: Dict = None, compute_dtype: str = "bfloat16",
-                  num_workers: int = 4, spatial_shards: int = 1):
+                  num_workers: int = 4, spatial_shards: int = 1,
+                  patient_regex: str = "", max_backlog: int = 4096):
     spec = DATASETS[dataset]
     num_classes = spec.num_classes
     spacing = spec.spacing
@@ -100,6 +144,7 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
 
     dicearr: List[List[float]] = []
     hd95arr: List[List[float]] = []
+    uids: List[str] = []
     meter_dice = [AvgMeter() for _ in range(num_classes)]
     meter_hd95 = [AvgMeter() for _ in range(num_classes)]
 
@@ -109,10 +154,23 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
         return (compute_dice_hard(p, l, num_classes),
                 compute_95hd(p, l, num_classes, spacing))
 
+    def _collect(fut):
+        dicelog, hd95log = fut.result()
+        dicearr.append(dicelog)
+        hd95arr.append(hd95log)
+        for cls in range(num_classes):
+            if not np.isnan(dicelog[cls]):
+                meter_dice[cls].update(dicelog[cls])
+            if not np.isnan(hd95log[cls]):
+                meter_hd95[cls].update(hd95log[cls])
+
     tic = time.time()
     n_slices = 0
     with concurrent.futures.ThreadPoolExecutor(max(num_workers, 1)) as pool:
-        pending = []
+        # HD95 futures drain incrementally (results are consumed in submit
+        # order) with a hard backlog bound — LVSC streams ~29k slices and
+        # must not accumulate one future per slice (VERDICT r2).
+        pending = collections.deque()
         in_flight = []  # double buffer: overlap device batch i+1 with D2H of i
 
         def _drain(entry):
@@ -123,10 +181,14 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
                 h, w = int(raw["size"][i][0]), int(raw["size"][i][1])
                 pending.append(pool.submit(
                     host_metrics, preds[i], raw["label"][i], h, w))
+                uids.append(str(raw["uid"][i]))
                 n_slices += 1
+            while pending and pending[0].done():
+                _collect(pending.popleft())
+            while len(pending) > max_backlog:
+                _collect(pending.popleft())
 
         for raw in loader:
-            raw.pop("uid")
             # upload only the image (f16) + sizes; labels stay host-side
             dev_preds = forward_hard(
                 jnp.asarray(raw["image"].astype(np.float16)),
@@ -136,31 +198,35 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
                 _drain(in_flight.pop(0))
         while in_flight:
             _drain(in_flight.pop(0))
-        for fut in pending:
-            dicelog, hd95log = fut.result()
-            dicearr.append(dicelog)
-            hd95arr.append(hd95log)
-            for cls in range(num_classes):
-                if not np.isnan(dicelog[cls]):
-                    meter_dice[cls].update(dicelog[cls])
-                if not np.isnan(hd95log[cls]):
-                    meter_hd95[cls].update(hd95log[cls])
+        while pending:
+            _collect(pending.popleft())
     toc = time.time()
 
     dicearr_np = np.asarray(dicearr, np.float32)
     hd95arr_np = np.asarray(hd95arr, np.float32)
+    # uids persist so the published per-patient protocol stays computable
+    # from the artifact (the reference's eval_data.npz drops them)
     np.savez(os.path.join(run_dir, "eval_data"),
-             dicearr=dicearr_np, hd95arr=hd95arr_np)
+             dicearr=dicearr_np, hd95arr=hd95arr_np,
+             uids=np.asarray(uids))
 
     foldavgdice = float(np.mean([meter_dice[c].avg for c in range(1, num_classes)]))
     foldavghd95 = float(np.mean([meter_hd95[c].avg for c in range(1, num_classes)]))
+    pat_dice = aggregate_per_patient(uids, dicearr_np, num_classes, patient_regex)
+    pat_hd95 = aggregate_per_patient(uids, hd95arr_np, num_classes, patient_regex)
     logging.info("Dataset: %s", dataset)
     logging.info("Number of classes: %d", num_classes)
     logging.info("Fold %d, overall Dice: %.4f, overall HD95: %.2f",
                  fold, foldavgdice, foldavghd95)
+    logging.info("Per-patient (%d patients) Dice: %.4f, HD95: %.2f "
+                 "(README.md:106 protocol)", pat_dice["num_patients"],
+                 pat_dice["overall"], pat_hd95["overall"])
     logging.info("Shape of the Dice array: %s", dicearr_np.shape)
     logging.info("Shape of the HD95 array: %s", hd95arr_np.shape)
     logging.info("%d slices in %.1fs (%.1f slices/s)",
                  n_slices, toc - tic, n_slices / max(toc - tic, 1e-9))
     return {"dice": foldavgdice, "hd95": foldavghd95,
-            "dicearr": dicearr_np, "hd95arr": hd95arr_np}
+            "dice_per_patient": pat_dice["overall"],
+            "hd95_per_patient": pat_hd95["overall"],
+            "num_patients": pat_dice["num_patients"],
+            "dicearr": dicearr_np, "hd95arr": hd95arr_np, "uids": uids}

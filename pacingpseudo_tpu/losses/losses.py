@@ -71,6 +71,10 @@ def cross_entropy_loss(logits, target):
     # one-hot multiply-reduce instead of take_along_axis: a per-pixel
     # class-select lowers to an XLA gather, which profiled at ~12% of the
     # whole train step on TPU; C<=6 FMAs/pixel on the VPU are ~free.
+    # Targets MUST lie in [0, C): out-of-range rows one-hot to all-zero and
+    # silently contribute 0 while still counted in the mean (torch's
+    # clamped-gather NLL would differ) — callers with ignore semantics use
+    # partial_cross_entropy_loss instead.
     c = logits.shape[-1]
     nll = -jnp.sum(
         log_p * jax.nn.one_hot(target.astype(jnp.int32), c, dtype=log_p.dtype),

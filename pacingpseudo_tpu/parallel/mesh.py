@@ -109,7 +109,9 @@ def make_resident_gather(mesh: Optional[Mesh]):
     per-shard sampling restriction), and the collective moves one batch —
     not the pool — over ICI.
 
-    ``idx`` must be replicated with length divisible by the mesh size.
+    ``idx`` must be replicated with length divisible by the DATA-axis size
+    (on a 2-D ('data','space') mesh the pool is padded/sharded by the data
+    axis only and replicated across 'space').
     """
     import jax.numpy as jnp
 

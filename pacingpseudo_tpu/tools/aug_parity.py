@@ -27,6 +27,13 @@ compares:
     deviation #5 (coordinate-snapped bilinear vs resize down(0)/up(3)).
 
 CLI:  python -m pacingpseudo_tpu.tools.aug_parity --n 2000 --out AUG_PARITY.json
+      [--datasets chaos acdc lvsc]
+
+Measured per dataset: the chains differ only in the constants
+(chaos_aug_configs.py:9-11 — 5 classes/256² crop; acdc_aug_configs.py:9-11 —
+4 classes/224²; lvsc_aug_configs.py:9-13 — 2 classes/224²), but ACDC/LVSC
+additionally feed heterogeneous slice extents through the crop/embed path,
+so each dataset gets its own phantom size mix and measured bounds.
 
 The numbers land in AUG_PARITY.json and the bounds are pinned by
 tests/test_aug_parity.py (smaller N, looser thresholds).
@@ -35,6 +42,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import dataclasses
 import json
 import os
 import sys
@@ -46,9 +54,34 @@ import scipy.ndimage as ndi
 
 REFERENCE_ROOT = "/root/reference"
 
-CHAOS_NUM_CLASSES = 5
-CHAOS_IGNORED = 5
-CHAOS_CROP = (256, 256)
+
+@dataclasses.dataclass(frozen=True)
+class ParitySpec:
+    """Dataset constants + a phantom extent mix for the measurement."""
+    dataset: str
+    num_classes: int
+    ignored: int
+    crop: Tuple[int, int]
+    sizes: Tuple[Tuple[int, int], ...]
+
+
+SPECS = {
+    # CHAOS slices are uniformly 256x256 (README.md:9); the mix still
+    # exercises both RandomCrop branches via the Scaling transform.
+    "chaos": ParitySpec("chaos", 5, 5, (256, 256),
+                        ((256, 256), (256, 256), (224, 288), (288, 224),
+                         (200, 200))),
+    # ACDC/LVSC slice extents are heterogeneous (their drivers crop/embed
+    # per slice, acdc_aug_configs.py:16-61, lvsc_aug_configs.py:18-63);
+    # the mixes span smaller- and larger-than-crop in each axis.
+    "acdc": ParitySpec("acdc", 4, 4, (224, 224),
+                       ((224, 224), (256, 216), (184, 232), (288, 224),
+                        (232, 184))),
+    "lvsc": ParitySpec("lvsc", 2, 2, (224, 224),
+                       ((224, 224), (192, 208), (256, 256), (208, 168),
+                        (240, 224))),
+}
+CHAOS = SPECS["chaos"]
 
 STRONG_VARIANTS = ("TransformsColor", "TransformsColorBlur",
                    "TransformsColorMixup", "TransformsColorLow")
@@ -119,23 +152,23 @@ def load_reference_augmentations():
 # Matched transform chains (chaos_aug_configs.py:16-61 and :63-186)
 # ---------------------------------------------------------------------------
 
-def reference_base_transforms(A):
+def reference_base_transforms(A, spec: ParitySpec = CHAOS):
     return [
         A.MeanStdNorm(),
-        A.Scaling(scale_range=(0.7, 1.4), num_classes=CHAOS_NUM_CLASSES,
+        A.Scaling(scale_range=(0.7, 1.4), num_classes=spec.num_classes,
                   image_scale_order=3, label_scale_order=1, p=0.2),
         A.ElasticTransform(sigma_range=(9., 13.), alpha_range=(0., 200.),
                            img_order=3, lab_order=0, mode="nearest",
                            clip=True, p=0.2),
         A.RandomRotation(degree_range=(-30, 30), image_interp_order=3,
                          image_padding_val=0, label_interp_order=0,
-                         label_padding_val=CHAOS_IGNORED, p=0.2),
+                         label_padding_val=spec.ignored, p=0.2),
         A.Mirroring(axis=0, p=0.5),
         A.Mirroring(axis=1, p=0.5),
         A.GaussianNoise(noise_scale_range=(0, 0.1), p=0.15),
         A.MeanStdNorm(),
-        A.RandomCrop(crop_size=CHAOS_CROP, image_padding_value=0,
-                     label_padding_value=CHAOS_IGNORED, p=1.),
+        A.RandomCrop(crop_size=spec.crop, image_padding_value=0,
+                     label_padding_value=spec.ignored, p=1.),
     ]
 
 
@@ -163,29 +196,27 @@ def reference_strong_transforms(A, variant: str, strength: float = 1.0):
 # Sample generation + the two pipelines
 # ---------------------------------------------------------------------------
 
-def gen_samples(n: int, seed: int,
-                sizes: Tuple[Tuple[int, int], ...] = ((256, 256), (256, 256),
-                                                      (224, 288), (288, 224),
-                                                      (200, 200))):
-    """Phantom slices over a size mix exercising crop AND embed paths."""
+def gen_samples(n: int, seed: int, spec: ParitySpec = CHAOS):
+    """Phantom slices over the spec's size mix (crop AND embed paths)."""
     from pacingpseudo_tpu.data.synthetic import make_phantom
     from pacingpseudo_tpu.tools.scribbles import generate_scribble
     rng = np.random.RandomState(seed)
     out = []
     for i in range(n):
-        size = sizes[i % len(sizes)]
-        img, lab = make_phantom(rng, size, CHAOS_NUM_CLASSES)
-        scb = generate_scribble(lab, CHAOS_NUM_CLASSES, CHAOS_IGNORED)
+        size = spec.sizes[i % len(spec.sizes)]
+        img, lab = make_phantom(rng, size, spec.num_classes)
+        scb = generate_scribble(lab, spec.num_classes, spec.ignored)
         out.append((img.astype(np.float32), lab.astype(np.float32),
                     scb.astype(np.float32)))
     return out
 
 
-def run_reference(samples, variant: str, seed: int, mixup_dir: str = None):
+def run_reference(samples, variant: str, seed: int, mixup_dir: str = None,
+                  spec: ParitySpec = CHAOS):
     """The reference host chain exactly as CHAOSTwoStream.__getitem__ applies
     it (chaos_dataset.py:58-90): base list, then strong list on a deepcopy."""
     A = load_reference_augmentations()
-    base_ts = reference_base_transforms(A)
+    base_ts = reference_base_transforms(A, spec)
     strong_ts = reference_strong_transforms(A, variant)
 
     file_ls = None
@@ -194,9 +225,10 @@ def run_reference(samples, variant: str, seed: int, mixup_dir: str = None):
         os.makedirs(mixup_dir, exist_ok=True)
         file_ls = []
         # crop-sized files only: Mixup.center_crop (augmentations.py:76-81)
-        # wraps around on sources smaller than the crop — in the reference
-        # every CHAOS file is exactly 256x256, so match that precondition.
-        pool = [im for im, _, _ in samples if im.shape == CHAOS_CROP][:64]
+        # wraps around on sources smaller than the crop — feed it only
+        # crop-shaped files (in the reference every CHAOS file is exactly
+        # 256x256; for acdc/lvsc this matches the safe subset).
+        pool = [im for im, _, _ in samples if im.shape == spec.crop][:64]
         for i, img in enumerate(pool):
             p = os.path.join(mixup_dir, f"mix{i:03d}.npz")
             if not os.path.exists(p):
@@ -221,14 +253,15 @@ def run_reference(samples, variant: str, seed: int, mixup_dir: str = None):
     return {k: np.stack(v) for k, v in out.items()}
 
 
-def run_ours(samples, variant: str, seed: int, batch: int = 64):
+def run_ours(samples, variant: str, seed: int, batch: int = 64,
+             spec: ParitySpec = CHAOS):
     """The on-device engine with matched parameters, on the CPU backend."""
     import jax
     import jax.numpy as jnp
     from pacingpseudo_tpu.aug.engine import make_train_augment_fn
     from pacingpseudo_tpu.aug.presets import base_params_for, strong_params_for
 
-    bp = base_params_for("chaos")
+    bp = base_params_for(spec.dataset)
     sp = strong_params_for(variant)
     fn = jax.jit(make_train_augment_fn(bp, sp, do_strong=True))
 
@@ -249,8 +282,8 @@ def run_ours(samples, variant: str, seed: int, batch: int = 64):
             chunk = chunk + [chunk[-1]] * (batch - len(chunk))
         raw = {
             "image": jnp.asarray(np.stack([pad(im, 0.0) for im, _, _ in chunk])),
-            "label": jnp.asarray(np.stack([pad(la, CHAOS_IGNORED) for _, la, _ in chunk])),
-            "scribble": jnp.asarray(np.stack([pad(sc, CHAOS_IGNORED) for _, _, sc in chunk])),
+            "label": jnp.asarray(np.stack([pad(la, spec.ignored) for _, la, _ in chunk])),
+            "scribble": jnp.asarray(np.stack([pad(sc, spec.ignored) for _, _, sc in chunk])),
             "size": jnp.asarray(np.stack([np.asarray(im.shape, np.int32)
                                           for im, _, _ in chunk])),
         }
@@ -259,7 +292,7 @@ def run_ours(samples, variant: str, seed: int, batch: int = 64):
         n_real = min(batch, len(samples) - i)
         # one-hot -> hard labels (all-zero rows are ignored pixels)
         lab_oh = b["label"][:n_real]
-        lab = np.where(lab_oh.sum(-1) > 0, lab_oh.argmax(-1), CHAOS_IGNORED)
+        lab = np.where(lab_oh.sum(-1) > 0, lab_oh.argmax(-1), spec.ignored)
         scb = b["scribble"][:n_real].argmax(-1)
         out["image"].append(b["image"][:n_real, ..., 0])
         out["label"].append(lab.astype(np.float32))
@@ -298,8 +331,9 @@ def grad_mag(images: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return g[v]
 
 
-def label_statistics(labels: np.ndarray, valid: np.ndarray) -> Dict[str, object]:
-    nc, ign = CHAOS_NUM_CLASSES, CHAOS_IGNORED
+def label_statistics(labels: np.ndarray, valid: np.ndarray,
+                     spec: ParitySpec = CHAOS) -> Dict[str, object]:
+    nc, ign = spec.num_classes, spec.ignored
     area = [float(np.mean((labels == c) & (valid > 0))) for c in range(nc)]
     ignored_frac = float(np.mean(labels == ign))
     dh = (labels[:, :, 1:] != labels[:, :, :-1])
@@ -329,25 +363,21 @@ def measure_elastic_field(n: int = 64, sigma: float = 11.0,
     half-width (the lag where the normalized autocovariance falls below 0.5).
     """
     import jax
-    import jax.numpy as jnp
-    from pacingpseudo_tpu.ops.resize import bilinear_resize_align_corners
-    from pacingpseudo_tpu.ops.warp import separable_gaussian_blur
+    from pacingpseudo_tpu.aug.engine import make_elastic_field
+    from pacingpseudo_tpu.aug.params import BaseAugParams
 
     rng = np.random.RandomState(seed)
     ref_fields = np.stack([
         ndi.gaussian_filter(rng.rand(size, size) * 2 - 1, sigma) * alpha
         for _ in range(n)])
 
-    ds = 8
-    fh = size // ds
-    radius = min(7, fh - 1)
+    dflt = BaseAugParams()
+    ds = dflt.elastic_field_downscale
 
     @jax.jit
     def one(key):
-        noise = jax.random.uniform(key, (fh, fh)) * 2.0 - 1.0
-        low = separable_gaussian_blur(noise, sigma / ds, radius)
-        up = bilinear_resize_align_corners(low[None, :, :, None], size, size)
-        return up[0, :, :, 0] * (alpha / ds)
+        return make_elastic_field(key, size, size, sigma, alpha, ds,
+                                  dflt.elastic_blur_radius)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
     our_fields = np.stack([np.asarray(one(k)) for k in keys])
@@ -398,7 +428,7 @@ def measure_lowres_primitive(n: int = 32, seed: int = 0) -> Dict[str, float]:
 
     corrs, maes = [], []
     for i in range(n):
-        img, _ = make_phantom(rng, (h, w), CHAOS_NUM_CLASSES)
+        img, _ = make_phantom(rng, (h, w), CHAOS.num_classes)
         img = (img - img.mean()) / (img.std() + 1e-8)
         s = float(rng.uniform(1.5, 2.0))
         lr = A.SimulationLowRes(downscale_range=(s, s), down_order=0,
@@ -431,27 +461,28 @@ def measure_norm_region(ref_out: Dict[str, np.ndarray]) -> Dict[str, float]:
     }
 
 
-def geometry_only_comparison(n: int, seed: int) -> Dict[str, float]:
+def geometry_only_comparison(n: int, seed: int,
+                             spec: ParitySpec = CHAOS) -> Dict[str, float]:
     """Deviation #1 isolated: geometric transforms forced on (p=1 for
     Scaling/Elastic/Rotation), noise off — the resample-order difference is
     the only systematic one left.  KS on intensities and on gradient
     magnitudes (accumulated-blur observable)."""
     A = load_reference_augmentations()
-    samples = gen_samples(n, seed + 1)
+    samples = gen_samples(n, seed + 1, spec)
 
     base_ts = [
         A.MeanStdNorm(),
-        A.Scaling(scale_range=(0.7, 1.4), num_classes=CHAOS_NUM_CLASSES,
+        A.Scaling(scale_range=(0.7, 1.4), num_classes=spec.num_classes,
                   image_scale_order=3, label_scale_order=1, p=1.0),
         A.ElasticTransform(sigma_range=(9., 13.), alpha_range=(0., 200.),
                            img_order=3, lab_order=0, mode="nearest",
                            clip=True, p=1.0),
         A.RandomRotation(degree_range=(-30, 30), image_interp_order=3,
                          image_padding_val=0, label_interp_order=0,
-                         label_padding_val=CHAOS_IGNORED, p=1.0),
+                         label_padding_val=spec.ignored, p=1.0),
         A.MeanStdNorm(),
-        A.RandomCrop(crop_size=CHAOS_CROP, image_padding_value=0,
-                     label_padding_value=CHAOS_IGNORED, p=1.),
+        A.RandomCrop(crop_size=spec.crop, image_padding_value=0,
+                     label_padding_value=spec.ignored, p=1.),
     ]
     np.random.seed(seed)
     ref_img, ref_v = [], []
@@ -463,12 +494,11 @@ def geometry_only_comparison(n: int, seed: int) -> Dict[str, float]:
         ref_v.append(np.asarray(d["valid_mask"], np.float32))
     ref_img, ref_v = np.stack(ref_img), np.stack(ref_v)
 
-    import dataclasses
     import jax
     import jax.numpy as jnp
     from pacingpseudo_tpu.aug.engine import augment_batch
     from pacingpseudo_tpu.aug.presets import base_params_for
-    bp = dataclasses.replace(base_params_for("chaos"), p_scale=1.0,
+    bp = dataclasses.replace(base_params_for(spec.dataset), p_scale=1.0,
                              p_elastic=1.0, p_rotate=1.0, p_mirror_y=0.0,
                              p_mirror_x=0.0, p_noise=0.0)
     our = run_ours_with_params(samples, bp, seed)
@@ -507,8 +537,10 @@ def run_ours_with_params(samples, base_params, seed: int, batch: int = 64):
             chunk = chunk + [chunk[-1]] * (batch - len(chunk))
         raw = {
             "image": jnp.asarray(np.stack([pad(im, 0.0) for im, _, _ in chunk])),
-            "label": jnp.asarray(np.stack([pad(la, CHAOS_IGNORED) for _, la, _ in chunk])),
-            "scribble": jnp.asarray(np.stack([pad(sc, CHAOS_IGNORED) for _, _, sc in chunk])),
+            "label": jnp.asarray(np.stack([pad(la, base_params.ignored_index)
+                                           for _, la, _ in chunk])),
+            "scribble": jnp.asarray(np.stack([pad(sc, base_params.ignored_index)
+                                              for _, _, sc in chunk])),
             "size": jnp.asarray(np.stack([np.asarray(im.shape, np.int32)
                                           for im, _, _ in chunk])),
         }
@@ -523,16 +555,18 @@ def run_ours_with_params(samples, base_params, seed: int, batch: int = 64):
 # Report
 # ---------------------------------------------------------------------------
 
-def build_report(n: int = 2000, seed: int = 0,
-                 workdir: str = "/tmp/aug_parity") -> Dict[str, object]:
-    samples = gen_samples(n, seed)
-    report: Dict[str, object] = {"n": n, "seed": seed}
+def build_dataset_report(n: int, seed: int, spec: ParitySpec,
+                         workdir: str) -> Dict[str, object]:
+    samples = gen_samples(n, seed, spec)
+    report: Dict[str, object] = {}
 
     variants: Dict[str, object] = {}
     for variant in STRONG_VARIANTS:
         ref = run_reference(samples, variant, seed + 10,
-                            mixup_dir=os.path.join(workdir, "mixup"))
-        ours = run_ours(samples, variant, seed + 20)
+                            mixup_dir=os.path.join(workdir,
+                                                   f"mixup_{spec.dataset}"),
+                            spec=spec)
+        ours = run_ours(samples, variant, seed + 20, spec=spec)
         ref_px = _masked(ref["image"], ref["valid_mask"])
         our_px = _masked(ours["image"], ours["valid_mask"])
         entry = {
@@ -546,20 +580,33 @@ def build_report(n: int = 2000, seed: int = 0,
                 "base_gradmag_ks": ks_distance(
                     grad_mag(ref["image"], ref["valid_mask"]),
                     grad_mag(ours["image"], ours["valid_mask"])),
-                "ref_labels": label_statistics(ref["label"], ref["valid_mask"]),
-                "ours_labels": label_statistics(ours["label"], ours["valid_mask"]),
-                "ref_scribbles": label_statistics(ref["scribble"], ref["valid_mask"]),
-                "ours_scribbles": label_statistics(ours["scribble"], ours["valid_mask"]),
+                "ref_labels": label_statistics(ref["label"], ref["valid_mask"], spec),
+                "ours_labels": label_statistics(ours["label"], ours["valid_mask"], spec),
+                "ref_scribbles": label_statistics(ref["scribble"], ref["valid_mask"], spec),
+                "ours_scribbles": label_statistics(ours["scribble"], ours["valid_mask"], spec),
                 "norm_region": measure_norm_region(ref),
             })
         variants[variant] = entry
     report["variants"] = variants
 
-    report["geometry_only"] = geometry_only_comparison(max(n // 4, 64), seed + 30)
+    report["geometry_only"] = geometry_only_comparison(
+        max(n // 4, 64), seed + 30, spec)
     report["elastic_field"] = {
-        f"sigma{int(s)}": measure_elastic_field(sigma=s, seed=seed + 40)
+        f"sigma{int(s)}": measure_elastic_field(sigma=s, seed=seed + 40,
+                                                size=spec.crop[0])
         for s in (9.0, 11.0, 13.0)
     }
+    return report
+
+
+def build_report(n: int = 2000, seed: int = 0,
+                 workdir: str = "/tmp/aug_parity",
+                 datasets: Tuple[str, ...] = ("chaos", "acdc", "lvsc")
+                 ) -> Dict[str, object]:
+    report: Dict[str, object] = {"n": n, "seed": seed}
+    for ds in datasets:
+        report[ds] = build_dataset_report(n, seed, SPECS[ds], workdir)
+    # dataset-independent primitive (identical inputs, fixed 256 canvas)
     report["lowres_primitive"] = measure_lowres_primitive(seed=seed + 50)
     return report
 
@@ -569,9 +616,11 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="AUG_PARITY.json")
+    ap.add_argument("--datasets", nargs="+", default=["chaos", "acdc", "lvsc"],
+                    choices=list(SPECS))
     args = ap.parse_args(argv)
 
-    report = build_report(args.n, args.seed)
+    report = build_report(args.n, args.seed, datasets=tuple(args.datasets))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))

