@@ -140,9 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "streams (per-stream BN stats), memory_update_mode="
                         "first, and the BN-eval-after-first-epoch quirk")
     p.add_argument("--num_devices", type=int, default=0)
-    p.add_argument("--spatial_shards", type=int, default=1,
+    p.add_argument("--spatial_shards", type=int, default=0,
                    help="shard activation height over a 'space' mesh axis "
-                        "(devices split as data x space; streaming path)")
+                        "(devices split as data x space); 0 = auto-factor "
+                        "so all devices carry load at the given batch")
     p.add_argument("--aug_image_interp", type=str, default="bicubic",
                    choices=["bicubic", "bilinear"],
                    help="fused-warp image kernel: bicubic matches the "

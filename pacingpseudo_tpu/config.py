@@ -153,9 +153,13 @@ class ExperimentConfig:
     # back (train_chaos.py:370, upper_bound_chaos.py:183), freezing BN in
     # running-stats mode from epoch 1 on.  True reproduces that.
     num_devices: int = 0                  # 0 = all visible devices (data mesh)
-    spatial_shards: int = 1               # shard activation H over a 'space'
-                                          # mesh axis (streaming path only;
-                                          # parallel/spatial.py)
+    spatial_shards: int = 0               # shard activation H over a 'space'
+                                          # mesh axis (parallel/spatial.py);
+                                          # 0 = auto: split data x space so
+                                          # ALL devices carry load when the
+                                          # batch doesn't divide the chip
+                                          # count (e.g. batch 12 on 8 chips
+                                          # -> data 4 x space 2)
     aug_image_interp: str = "bicubic"     # fused-warp image kernel: "bicubic"
                                           # (measured parity, AUG_PARITY.json)
                                           # or "bilinear" (max throughput)
@@ -197,7 +201,7 @@ class ExperimentConfig:
         assert self.device_resident_data in ("auto", "on", "off")
         assert self.aug_image_interp in ("bicubic", "bilinear"), \
             self.aug_image_interp
-        assert self.spatial_shards >= 1, self.spatial_shards
+        assert self.spatial_shards >= 0, self.spatial_shards
         if self.do_memory:
             assert self.do_aux_path, "do_memory requires do_aux_path"
         return self

@@ -1,0 +1,52 @@
+"""Flax BatchNorm module backed by the matmul-moments core (ops/fused_bn).
+
+Drop-in replacement for ``nn.BatchNorm`` inside ConvLayer (and the S2D
+group variant): identical parameter/stat names and shapes (params
+``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoints and the
+torch importer/exporter are oblivious, identical semantics (population
+variance, momentum EMA, f32 statistics), but the batch statistics and the
+backward reductions run as MXU matmuls instead of channel-minor reduce
+fusions (see ops/fused_bn.py for the measured rationale).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pacingpseudo_tpu.ops.fused_bn import batch_norm_eval, batch_norm_train
+
+
+class MatmulBatchNorm(nn.Module):
+    """BatchNorm with matmul-shaped statistics.
+
+    ``groups > 1`` selects the S2D extension: the input carries
+    ``groups * C`` physical channels laid out ``g*C + i`` (jnp.tile), the
+    statistics/params are per LOGICAL channel (C,).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1] // self.groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            return batch_norm_eval(x, scale, bias, ra_mean.value, ra_var.value,
+                                   self.epsilon, self.groups)
+        y, m, v = batch_norm_train(x, scale, bias, self.epsilon, self.groups)
+        if not self.is_initializing():
+            # EMA update outside the gradient (flax semantics); stop_gradient
+            # honours batch_norm_train's zero-cotangent contract on (m, v).
+            m = jax.lax.stop_gradient(m)
+            v = jax.lax.stop_gradient(v)
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
+        return y

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import random
 
+from pacingpseudo_tpu.models.norm import MatmulBatchNorm
 from pacingpseudo_tpu.ops.resize import upsample2x_align_corners
 from pacingpseudo_tpu.ops.s2d import (
     depth_to_space,
@@ -99,14 +100,10 @@ class ConvLayer(nn.Module):
         # momentum=0.1 (flax momentum = 1 - 0.1).  With jit+NamedSharding
         # data parallelism the batch mean/var below are global reductions, so
         # cross-replica sync-BN holds by construction (SURVEY.md §5).
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="norm",
-        )(x)
+        # MatmulBatchNorm == nn.BatchNorm semantics with the statistic (and
+        # backward) reductions as MXU matmuls — the round-2 profiled
+        # convert_reduce stall fix (ops/fused_bn.py).
+        x = MatmulBatchNorm(name="norm")(x, use_running_average=not train)
         return nn.leaky_relu(x.astype(self.dtype), negative_slope=self.negative_slope)
 
 
@@ -227,38 +224,11 @@ class _S2DConv(nn.Module):
         return y + jnp.tile(bias, 4).astype(self.dtype)
 
 
-class _S2DBatchNorm(nn.Module):
-    """flax BatchNorm semantics with per-LOGICAL-channel statistics over
-    the four (p, q) groups (name it "norm"; params/stats shapes (C,))."""
-
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x2, use_running_average: bool):
-        c = x2.shape[-1] // 4
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros((c,), jnp.float32))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones((c,), jnp.float32))
-        xf = x2.astype(jnp.float32)
-        if use_running_average:
-            m, v = ra_mean.value, ra_var.value
-        else:
-            g = xf.reshape(*xf.shape[:-1], 4, c)
-            m = jnp.mean(g, axis=(0, 1, 2, 3))
-            v = jnp.mean(jnp.square(g), axis=(0, 1, 2, 3)) - jnp.square(m)
-            if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
-        y = (xf - jnp.tile(m, 4)) * jax.lax.rsqrt(jnp.tile(v, 4) + self.epsilon)
-        return y * jnp.tile(scale, 4) + jnp.tile(bias, 4)
-
-
 class S2DConvLayer(nn.Module):
-    """S2D Conv -> BatchNorm -> LeakyReLU with ConvLayer-identical params."""
+    """S2D Conv -> BatchNorm -> LeakyReLU with ConvLayer-identical params.
+
+    The norm is per-LOGICAL-channel statistics over the four (p, q) S2D
+    groups (params/stats shapes (C,), phys layout ``g*C + i``)."""
 
     features: int
     negative_slope: float = 1e-2
@@ -267,7 +237,8 @@ class S2DConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x2, train: bool):
         x2 = _S2DConv(self.features, 3, dtype=self.dtype, name="conv")(x2)
-        x2 = _S2DBatchNorm(name="norm")(x2, use_running_average=not train)
+        x2 = MatmulBatchNorm(groups=4, name="norm")(
+            x2, use_running_average=not train)
         return nn.leaky_relu(x2.astype(self.dtype),
                              negative_slope=self.negative_slope)
 

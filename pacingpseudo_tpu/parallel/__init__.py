@@ -1,5 +1,6 @@
 from .mesh import (
     data_mesh,
+    factor_devices,
     shard_batch,
     replicate,
     batch_sharding,

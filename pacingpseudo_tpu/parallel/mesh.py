@@ -26,6 +26,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def factor_devices(avail: int, batch_size: int):
+    """Factor ``avail`` devices as (n_space, n_data) maximising utilisation.
+
+    Pure data parallelism requires ``n_data | batch_size``; when that
+    strands devices (reference batch 12 on 8 chips -> 6 used), splitting
+    the remainder onto a 'space' (activation-height) axis keeps every chip
+    busy at the exact reference batch with identical numerics
+    (parallel/spatial.py).  Preference order: most devices used, then the
+    smallest space factor (halo exchanges cost more than batch sharding),
+    then the largest data axis.
+    """
+    best = (1, max(d for d in range(1, avail + 1) if batch_size % d == 0))
+    best_used = best[0] * best[1]
+    for s in range(2, avail + 1):
+        if avail % s:
+            continue
+        d = max(dd for dd in range(1, avail // s + 1) if batch_size % dd == 0)
+        if d * s > best_used:
+            best, best_used = (s, d), d * s
+    return best
+
+
 def data_mesh(num_devices: int = 0) -> Mesh:
     """1-D ``data`` mesh over the first ``num_devices`` devices (0 = all)."""
     devices = jax.devices()

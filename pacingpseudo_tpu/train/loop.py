@@ -38,6 +38,7 @@ from pacingpseudo_tpu.data import BatchLoader, SliceDataset, read_fold_split
 from pacingpseudo_tpu.models import PacingPseudoModel
 from pacingpseudo_tpu.parallel import (
     data_mesh,
+    factor_devices,
     replicate,
     shard_batch,
     stage_resident_pool,
@@ -293,16 +294,34 @@ def train_driver(config: ExperimentConfig, data_root: str,
     # With --spatial_shards > 1 the devices split as data x space and the
     # jitted steps reshard activation heights over 'space'
     # (parallel/spatial.py; GSPMD conv halo exchanges).
+    # --spatial_shards 0 (default) = AUTO: when pure data parallelism would
+    # idle devices (the reference batch of 12 on an 8-chip slice only
+    # divides 6 ways), factor the devices as data x space instead so ALL
+    # chips carry load at the exact reference batch — identical semantics
+    # (global-batch BN stats, halo-exchanged convs; tests/test_sharding.py)
+    # rather than pad-and-mask batch distortion.
     avail = config.num_devices or len(jax.devices())
-    n_space = max(1, int(config.spatial_shards))
-    if n_space > 1 and avail // n_space < 1:
-        logging.info("clamping spatial_shards %d -> %d (devices)", n_space, avail)
-        n_space = avail
-    avail_data = max(avail // n_space, 1)
-    n_dev = max(d for d in range(1, avail_data + 1) if config.batch_size % d == 0)
-    if n_dev != avail_data:
-        logging.info("clamping data mesh %d -> %d (batch %d divisibility)",
-                     avail_data, n_dev, config.batch_size)
+    n_space = int(config.spatial_shards)
+    if n_space == 0:
+        n_space, n_dev = factor_devices(avail, config.batch_size)
+        if n_space > 1:
+            logging.info(
+                "auto spatial fallback: batch %d on %d devices -> "
+                "data=%d x space=%d (pure data mesh would idle %d)",
+                config.batch_size, avail, n_dev, n_space,
+                avail - max(d for d in range(1, avail + 1)
+                            if config.batch_size % d == 0))
+    else:
+        if n_space > 1 and avail // n_space < 1:
+            logging.info("clamping spatial_shards %d -> %d (devices)",
+                         n_space, avail)
+            n_space = avail
+        avail_data = max(avail // n_space, 1)
+        n_dev = max(d for d in range(1, avail_data + 1)
+                    if config.batch_size % d == 0)
+        if n_dev != avail_data:
+            logging.info("clamping data mesh %d -> %d (batch %d divisibility)",
+                         avail_data, n_dev, config.batch_size)
     spatial_constraint = None
     if n_space > 1:
         from pacingpseudo_tpu.parallel.spatial import (

@@ -143,3 +143,26 @@ def test_driver_variable_size_slices(tmp_path):
     vd, vl = _train(_config(), root, tmp_path, "varsz")
     assert vd.shape == (EP,) and np.all(np.isfinite(vd))
     assert np.all(vl > 0)
+
+
+def test_auto_spatial_fallback_uses_all_devices(tmp_path):
+    """VERDICT r2 item 3: the reference batch of 12 only divides 6 of 8
+    devices; spatial_shards=0 (default) must auto-factor the mesh as
+    data=4 x space=2 so ALL 8 devices carry load at batch 12, matching the
+    single-device trajectory (no pad-and-mask batch distortion)."""
+    from pacingpseudo_tpu.parallel import factor_devices
+    assert factor_devices(8, 12) == (2, 4)
+
+    root = str(tmp_path / "auto")
+    spec = DATASETS["acdc"]
+    write_synthetic_dataset(root, "acdc", 36, (HW, HW), spec.num_classes,
+                            spec.ignored_index, seed=11)
+    vd1, vl1 = _train(_config(num_devices=1, batch_size=12),
+                      root, tmp_path, "auto_n1")
+    vd8, vl8 = _train(_config(num_devices=8, batch_size=12),
+                      root, tmp_path, "auto_n8")
+    log = open(str(tmp_path / "auto_n8" / "log.txt")).read()
+    assert "data=4 x space=2" in log, log[-2000:]
+    assert vd1.shape == vd8.shape == (EP,)
+    assert np.allclose(vl1, vl8, rtol=1e-2), (vl1, vl8)
+    assert np.allclose(vd1, vd8, atol=2e-2), (vd1, vd8)

@@ -1,0 +1,129 @@
+"""Matmul-moments BatchNorm (ops/fused_bn.py) parity vs flax nn.BatchNorm.
+
+The custom VJP reformulates every BN reduction as an MXU matmul; these
+tests pin exact semantic equivalence — forward values, gradients wrt
+input/scale/bias, the EMA statistics, the S2D group extension, and the
+bf16 compute path — against the plain flax implementation the model used
+before (ConvLayer semantics, /root/reference/models/unet.py:178-193).
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pacingpseudo_tpu.models.norm import MatmulBatchNorm
+from pacingpseudo_tpu.ops.fused_bn import batch_norm_eval, batch_norm_train
+
+
+class _FlaxRef(nn.Module):
+    @nn.compact
+    def __call__(self, x, use_running_average):
+        return nn.BatchNorm(use_running_average=use_running_average,
+                            momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=jnp.float32, name="norm")(x)
+
+
+def _rand(key, shape, dtype):
+    return (jax.random.normal(key, shape) * 2.0 + 0.5).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_forward_matches_flax(dtype):
+    x = _rand(jax.random.PRNGKey(0), (4, 16, 16, 24), dtype)
+    ref = _FlaxRef()
+    ours = MatmulBatchNorm()
+    rv = ref.init(jax.random.PRNGKey(1), x, False)
+    ov = ours.init(jax.random.PRNGKey(1), x, False)
+    # same param shapes/names
+    assert jax.tree.map(jnp.shape, rv["params"]["norm"]) == \
+        jax.tree.map(jnp.shape, ov["params"])
+
+    scale = jax.random.uniform(jax.random.PRNGKey(2), (24,), jnp.float32, 0.5, 2.0)
+    bias = jax.random.normal(jax.random.PRNGKey(3), (24,))
+    rv = {"params": {"norm": {"scale": scale, "bias": bias}},
+          "batch_stats": rv["batch_stats"]}
+    ov = {"params": {"scale": scale, "bias": bias},
+          "batch_stats": ov["batch_stats"]}
+
+    yr, rs = ref.apply(rv, x, False, mutable=["batch_stats"])
+    yo, os_ = ours.apply(ov, x, False, mutable=["batch_stats"])
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(np.asarray(yr, np.float32),
+                               np.asarray(yo, np.float32), atol=tol, rtol=tol)
+    np.testing.assert_allclose(
+        np.asarray(rs["batch_stats"]["norm"]["mean"]),
+        np.asarray(os_["batch_stats"]["mean"]), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(rs["batch_stats"]["norm"]["var"]),
+        np.asarray(os_["batch_stats"]["var"]), atol=1e-5, rtol=1e-4)
+
+
+def test_gradients_match_flax():
+    x = _rand(jax.random.PRNGKey(0), (3, 8, 8, 20), jnp.float32)
+    scale = jax.random.uniform(jax.random.PRNGKey(2), (20,), jnp.float32, 0.5, 2.0)
+    bias = jax.random.normal(jax.random.PRNGKey(3), (20,))
+    w = jax.random.normal(jax.random.PRNGKey(4), x.shape)
+
+    def loss_ref(x, scale, bias):
+        m = jnp.mean(x, axis=(0, 1, 2))
+        v = jnp.mean(jnp.square(x), axis=(0, 1, 2)) - jnp.square(m)
+        y = (x - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
+        return jnp.sum(y * w * jnp.abs(y))  # nonlinear: exercises xhat term
+
+    def loss_ours(x, scale, bias):
+        y, _, _ = batch_norm_train(x, scale, bias, 1e-5, 1)
+        return jnp.sum(y * w * jnp.abs(y))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    go = jax.grad(loss_ours, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(gr, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_group_statistics_match_reference_formula():
+    """groups=4 == the S2D reshape(..., 4, c) formula (round-2 unet.py)."""
+    c = 6
+    x = _rand(jax.random.PRNGKey(5), (2, 8, 8, 4 * c), jnp.float32)
+    scale = jax.random.uniform(jax.random.PRNGKey(6), (c,), jnp.float32, 0.5, 2.0)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (c,))
+
+    y, m, v = batch_norm_train(x, scale, bias, 1e-5, 4)
+    g = x.reshape(*x.shape[:-1], 4, c)
+    m_ref = jnp.mean(g, axis=(0, 1, 2, 3))
+    v_ref = jnp.mean(jnp.square(g), axis=(0, 1, 2, 3)) - jnp.square(m_ref)
+    y_ref = ((x - jnp.tile(m_ref, 4)) * jax.lax.rsqrt(jnp.tile(v_ref, 4) + 1e-5)
+             * jnp.tile(scale, 4) + jnp.tile(bias, 4))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_ours(x):
+        y, _, _ = batch_norm_train(x, scale, bias, 1e-5, 4)
+        return jnp.sum(jnp.square(y) * 0.5)
+
+    def loss_ref(x):
+        g = x.reshape(*x.shape[:-1], 4, c)
+        m = jnp.mean(g, axis=(0, 1, 2, 3))
+        v = jnp.mean(jnp.square(g), axis=(0, 1, 2, 3)) - jnp.square(m)
+        y = ((x - jnp.tile(m, 4)) * jax.lax.rsqrt(jnp.tile(v, 4) + 1e-5)
+             * jnp.tile(scale, 4) + jnp.tile(bias, 4))
+        return jnp.sum(jnp.square(y) * 0.5)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_ours)(x)),
+                               np.asarray(jax.grad(loss_ref)(x)),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_eval_mode_uses_running_stats():
+    x = _rand(jax.random.PRNGKey(8), (2, 4, 4, 10), jnp.float32)
+    scale = jnp.ones((10,)) * 1.5
+    bias = jnp.ones((10,)) * 0.25
+    mean = jax.random.normal(jax.random.PRNGKey(9), (10,))
+    var = jax.random.uniform(jax.random.PRNGKey(10), (10,), jnp.float32, 0.5, 2.0)
+    y = batch_norm_eval(x, scale, bias, mean, var, 1e-5, 1)
+    y_ref = (x - mean) * jax.lax.rsqrt(var + 1e-5) * 1.5 + 0.25
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
