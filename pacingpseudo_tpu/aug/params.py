@@ -68,6 +68,11 @@ class BaseAugParams:
     # cheaper).  Labels/scribbles always use the exact 4-tap class vote.
     image_interp: str = "bicubic"
 
+    # Warp gather-table construction: "auto" (Pallas row-layout kernel on
+    # TPU, XLA rolled-planes elsewhere), "pallas", or "xla"
+    # (ops/pallas/warp_table.py).
+    warp_table_impl: str = "auto"
+
 
 @dataclasses.dataclass(frozen=True)
 class StrongAugParams:

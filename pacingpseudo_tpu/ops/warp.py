@@ -155,7 +155,8 @@ def _keys_cubic_weights(f, a: float = -0.5):
 
 
 def fused_warp_sample_cubic(image, label, scribble, sy, sx, num_values,
-                            bound_h, bound_w, cubic_a: float = -0.5):
+                            bound_h, bound_w, cubic_a: float = -0.5,
+                            table_impl: str = "auto"):
     """Like :func:`fused_warp_sample` but with a bicubic image tap.
 
     The image is sampled with the 4x4 Keys cubic kernel (matching the
@@ -196,17 +197,21 @@ def fused_warp_sample_cubic(image, label, scribble, sy, sx, num_values,
 
     # (H*W, 24) table: image lanes 4r+c = img[y-1+r, x-1+c]; label lanes
     # 16..19 and scribble lanes 20..23 hold the (0,0),(0,1),(1,0),(1,1)
-    # bilinear corners exactly like fused_warp_sample's table.
-    cols = []
-    for r in range(4):
-        pr = jnp.roll(image, -(r - 1), axis=0)
-        for c in range(4):
-            cols.append(jnp.roll(pr, -(c - 1), axis=1))
-    for p in (label.astype(jnp.float32), scribble.astype(jnp.float32)):
-        pright = jnp.roll(p, -1, axis=1)
-        pdown = jnp.roll(p, -1, axis=0)
-        cols += [p, pright, pdown, jnp.roll(pdown, -1, axis=1)]
-    table = jnp.stack(cols, axis=-1).reshape(-1, 24)
+    # bilinear corners exactly like fused_warp_sample's table.  On TPU the
+    # table is built by a Pallas kernel directly in the gather's row
+    # layout (ops/pallas/warp_table.py — skips XLA's plane-contiguous
+    # materialise + re-tile, the ~6 ms/batch cost of NOTES.md gap 3).
+    from pacingpseudo_tpu.ops.pallas.warp_table import (
+        build_warp_table, build_warp_table_xla)
+    impl = table_impl
+    if impl == "auto":
+        # "auto" stays on the XLA construction until the Pallas kernel is
+        # benchmarked on hardware (flip here once BENCH shows the win).
+        impl = "xla"
+    if impl == "pallas":
+        table = build_warp_table(image, label, scribble)
+    else:
+        table = build_warp_table_xla(image, label, scribble)
 
     rows = jnp.take(table, (y0 * w + x0).reshape(-1), axis=0)
     rows = rows.reshape(*y0.shape, 24)
