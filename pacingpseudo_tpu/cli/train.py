@@ -168,6 +168,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: cap steps per epoch")
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="generate N synthetic slices under --data_root first")
+    p.add_argument("--synthetic_difficulty", type=str, default="easy",
+                   choices=["easy", "hard"],
+                   help="phantom task difficulty (data/synthetic.py: 'hard' "
+                        "= intensity-overlapping positional anatomy with "
+                        "distractors, for the quality study)")
     p.add_argument("--input_size", type=int, nargs=2, default=None,
                    help="override the dataset crop size (smoke runs)")
     p.add_argument("--profile_dir", type=str, default="",
@@ -260,7 +265,8 @@ def main(argv=None):
             args.data_root, config.dataset, args.synthetic_data,
             tuple(args.input_size) if args.input_size else spec.input_size,
             config.num_classes, config.ignored_index,
-            modality=config.modality, seed=config.seed)
+            modality=config.modality, seed=config.seed,
+            difficulty=args.synthetic_difficulty)
 
     from pacingpseudo_tpu.train.loop import make_run_dir, train_driver
 

@@ -18,25 +18,83 @@ import numpy as np
 from pacingpseudo_tpu.tools.scribbles import generate_scribble
 
 
+def _smooth_field(rng, h, w, scale, amp):
+    """Band-limited random field in [-amp, amp] (coarse noise, cubic zoom)."""
+    import scipy.ndimage as ndi
+    gh, gw = max(h // scale, 2), max(w // scale, 2)
+    g = rng.randn(gh, gw)
+    f = ndi.zoom(g, (h / gh + 1e-9, w / gw + 1e-9), order=3)[:h, :w]
+    if f.shape != (h, w):  # zoom rounding
+        out = np.zeros((h, w))
+        out[: f.shape[0], : f.shape[1]] = f
+        f = out
+    return (f / (np.abs(f).max() + 1e-6)) * amp
+
+
+def _ellipse_mask(yy, xx, cy, cx, ry, rx, theta):
+    dy = (yy - cy) * np.cos(theta) + (xx - cx) * np.sin(theta)
+    dx = -(yy - cy) * np.sin(theta) + (xx - cx) * np.cos(theta)
+    return (dy / ry) ** 2 + (dx / rx) ** 2 <= 1.0
+
+
 def make_phantom(rng: np.random.RandomState, size: Tuple[int, int],
-                 num_classes: int) -> Tuple[np.ndarray, np.ndarray]:
-    """One synthetic slice: background + (num_classes-1) elliptical organs."""
+                 num_classes: int, difficulty: str = "easy"
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """One synthetic slice: background + (num_classes-1) elliptical organs.
+
+    ``difficulty``:
+      * "easy" — each class has a distinct intensity bump (round-1/2
+        fixtures; intensity alone nearly identifies the class).
+      * "hard" — anatomy-like task for the quality study: every organ
+        draws its mean intensity from the SAME distribution (classes are
+        not intensity-separable), each class instead owns a canonical
+        image position (jittered), organs carry smooth texture, a global
+        bias field and heavier noise corrupt the image, and 2-3
+        organ-like DISTRACTOR blobs belong to the background — so
+        segmentation requires shape/position context, leaving room for
+        the consistency/pseudo-label machinery to matter (the regime the
+        reference's +0.26 DSC gap lives in, README.md:114-115).
+    """
     h, w = size
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = rng.randn(h, w).astype(np.float32) * 0.05
     lab = np.zeros((h, w), np.int32)
+
+    if difficulty == "easy":
+        img = rng.randn(h, w).astype(np.float32) * 0.05
+        for c in range(1, num_classes):
+            mask = _ellipse_mask(
+                yy, xx, rng.uniform(0.25 * h, 0.75 * h),
+                rng.uniform(0.25 * w, 0.75 * w),
+                rng.uniform(0.06 * h, 0.16 * h),
+                rng.uniform(0.06 * w, 0.16 * w), rng.uniform(0, np.pi))
+            lab[mask] = c
+            img[mask] += 0.4 + 0.4 * c / num_classes
+        img += rng.randn(h, w).astype(np.float32) * 0.02
+        return img.astype(np.float32), lab
+
+    assert difficulty == "hard", difficulty
+    img = rng.randn(h, w) * 0.05 + _smooth_field(rng, h, w, 32, 0.25)
+    n_fg = max(num_classes - 1, 1)
     for c in range(1, num_classes):
-        cy = rng.uniform(0.25 * h, 0.75 * h)
-        cx = rng.uniform(0.25 * w, 0.75 * w)
-        ry = rng.uniform(0.06 * h, 0.16 * h)
-        rx = rng.uniform(0.06 * w, 0.16 * w)
-        theta = rng.uniform(0, np.pi)
-        dy = (yy - cy) * np.cos(theta) + (xx - cx) * np.sin(theta)
-        dx = -(yy - cy) * np.sin(theta) + (xx - cx) * np.cos(theta)
-        mask = (dy / ry) ** 2 + (dx / rx) ** 2 <= 1.0
+        ang = 2 * np.pi * (c - 1) / n_fg + rng.uniform(-0.35, 0.35)
+        cy = h * (0.5 + 0.22 * np.sin(ang)) + rng.uniform(-0.06, 0.06) * h
+        cx = w * (0.5 + 0.22 * np.cos(ang)) + rng.uniform(-0.06, 0.06) * w
+        mask = _ellipse_mask(yy, xx, cy, cx,
+                             rng.uniform(0.06 * h, 0.13 * h),
+                             rng.uniform(0.06 * w, 0.13 * w),
+                             rng.uniform(0, np.pi))
         lab[mask] = c
-        img[mask] += 0.4 + 0.4 * c / num_classes
-    img += rng.randn(h, w).astype(np.float32) * 0.02
+        mu = rng.uniform(0.25, 0.65)          # class-INdependent intensity
+        img[mask] += mu + _smooth_field(rng, h, w, 16, 0.15)[mask]
+    for _ in range(rng.randint(2, 4)):        # background distractors
+        mask = _ellipse_mask(
+            yy, xx, rng.uniform(0.12 * h, 0.88 * h),
+            rng.uniform(0.12 * w, 0.88 * w),
+            rng.uniform(0.04 * h, 0.09 * h),
+            rng.uniform(0.04 * w, 0.09 * w), rng.uniform(0, np.pi))
+        mask &= lab == 0
+        img[mask] += rng.uniform(0.25, 0.65)
+    img += rng.randn(h, w) * 0.06
     return img.astype(np.float32), lab
 
 
@@ -44,7 +102,8 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
                             size: Tuple[int, int], num_classes: int,
                             ignored_index: int, folds: int = 5,
                             modality: str = "t1", seed: int = 0,
-                            size_jitter: int = 0) -> List[str]:
+                            size_jitter: int = 0,
+                            difficulty: str = "easy") -> List[str]:
     """Write a reference-layout synthetic dataset under ``root``.
 
     Produces ``<root>/<ds>/slices/*.npz`` plus the five-fold split txts in
@@ -67,7 +126,7 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
         if size_jitter:
             sz = (int(rng.randint(size[0] - size_jitter, size[0] + size_jitter + 1)),
                   int(rng.randint(size[1] - size_jitter, size[1] + size_jitter + 1)))
-        img, lab = make_phantom(rng, sz, num_classes)
+        img, lab = make_phantom(rng, sz, num_classes, difficulty)
         scb = generate_scribble(lab, num_classes, ignored_index)
         # patient-grouped uids (24 slices per pseudo-patient) so the
         # per-patient aggregation protocol (evals/infer.py) is exercised
