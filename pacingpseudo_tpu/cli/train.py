@@ -173,6 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="phantom task difficulty (data/synthetic.py: 'hard' "
                         "= intensity-overlapping positional anatomy with "
                         "distractors, for the quality study)")
+    p.add_argument("--synthetic_size_jitter", type=int, default=0,
+                   help="vary synthetic slice extents by +-N px (exercises "
+                        "the heterogeneous-extent padding path; LVSC slices "
+                        "are not uniformly sized, lvsc_aug_configs.py:18-63)")
     p.add_argument("--input_size", type=int, nargs=2, default=None,
                    help="override the dataset crop size (smoke runs)")
     p.add_argument("--profile_dir", type=str, default="",
@@ -266,6 +270,7 @@ def main(argv=None):
             tuple(args.input_size) if args.input_size else spec.input_size,
             config.num_classes, config.ignored_index,
             modality=config.modality, seed=config.seed,
+            size_jitter=args.synthetic_size_jitter,
             difficulty=args.synthetic_difficulty)
 
     from pacingpseudo_tpu.train.loop import make_run_dir, train_driver

@@ -120,6 +120,20 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
     slice_dir = os.path.join(root, ds_dir, "slices")
     os.makedirs(slice_dir, exist_ok=True)
 
+    # Idempotent: a previous identical generation (marker matches) is kept,
+    # so pre-generating a large pool and then launching the trainer with
+    # --synthetic_data does not redo the (host-side, minutes-at-LVSC-scale)
+    # phantom synthesis.
+    marker = os.path.join(slice_dir, ".generated")
+    stamp = (f"{dataset} {num_slices} {size} {num_classes} {ignored_index} "
+             f"{folds} {modality} {seed} {size_jitter} {difficulty}")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return [os.path.join("slices", f"pat{i // 24:03d}_"
+                                     f"slice{i % 24:03d}.npz")
+                        for i in range(num_slices)]
+
     rel_paths = []
     for i in range(num_slices):
         sz = size
@@ -143,9 +157,12 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
     os.makedirs(split_base, exist_ok=True)
     for fold in range(folds):
         test = rel_paths[fold::folds]
-        train = [p for p in rel_paths if p not in test]
+        test_set = set(test)
+        train = [p for p in rel_paths if p not in test_set]
         with open(os.path.join(split_base, f"train_fold{fold}.txt"), "w") as f:
             f.write("\n".join(train) + "\n")
         with open(os.path.join(split_base, f"test_fold{fold}.txt"), "w") as f:
             f.write("\n".join(test) + "\n")
+    with open(marker, "w") as f:
+        f.write(stamp + "\n")
     return rel_paths
