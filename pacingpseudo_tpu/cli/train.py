@@ -173,6 +173,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="phantom task difficulty (data/synthetic.py: 'hard' "
                         "= intensity-overlapping positional anatomy with "
                         "distractors, for the quality study)")
+    p.add_argument("--synthetic_scribble_style", type=str,
+                   default="skeleton", choices=["skeleton", "dilated"],
+                   help="synthetic scribble richness (tools/scribbles.py: "
+                        "'dilated' approximates human stroke-width "
+                        "scribbles; 'skeleton' is the reference's 1-px "
+                        "LVSC protocol)")
     p.add_argument("--synthetic_size_jitter", type=int, default=0,
                    help="vary synthetic slice extents by +-N px (exercises "
                         "the heterogeneous-extent padding path; LVSC slices "
@@ -271,7 +277,8 @@ def main(argv=None):
             config.num_classes, config.ignored_index,
             modality=config.modality, seed=config.seed,
             size_jitter=args.synthetic_size_jitter,
-            difficulty=args.synthetic_difficulty)
+            difficulty=args.synthetic_difficulty,
+            scribble_style=args.synthetic_scribble_style)
 
     from pacingpseudo_tpu.train.loop import make_run_dir, train_driver
 

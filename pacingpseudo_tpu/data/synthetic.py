@@ -103,7 +103,8 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
                             ignored_index: int, folds: int = 5,
                             modality: str = "t1", seed: int = 0,
                             size_jitter: int = 0,
-                            difficulty: str = "easy") -> List[str]:
+                            difficulty: str = "easy",
+                            scribble_style: str = "skeleton") -> List[str]:
     """Write a reference-layout synthetic dataset under ``root``.
 
     Produces ``<root>/<ds>/slices/*.npz`` plus the five-fold split txts in
@@ -126,7 +127,8 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
     # phantom synthesis.
     marker = os.path.join(slice_dir, ".generated")
     stamp = (f"{dataset} {num_slices} {size} {num_classes} {ignored_index} "
-             f"{folds} {modality} {seed} {size_jitter} {difficulty}")
+             f"{folds} {modality} {seed} {size_jitter} {difficulty} "
+             f"{scribble_style}")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
@@ -141,7 +143,8 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
             sz = (int(rng.randint(size[0] - size_jitter, size[0] + size_jitter + 1)),
                   int(rng.randint(size[1] - size_jitter, size[1] + size_jitter + 1)))
         img, lab = make_phantom(rng, sz, num_classes, difficulty)
-        scb = generate_scribble(lab, num_classes, ignored_index)
+        scb = generate_scribble(lab, num_classes, ignored_index,
+                                style=scribble_style)
         # patient-grouped uids (24 slices per pseudo-patient) so the
         # per-patient aggregation protocol (evals/infer.py) is exercised
         uid = f"pat{i // 24:03d}_slice{i % 24:03d}"

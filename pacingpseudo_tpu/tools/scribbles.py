@@ -62,7 +62,8 @@ def skeletonize(mask: np.ndarray) -> np.ndarray:
 
 
 def generate_scribble(lab: np.ndarray, num_classes: int,
-                      ignored_index: int) -> np.ndarray:
+                      ignored_index: int, style: str = "skeleton",
+                      dilate_iters: int = 2) -> np.ndarray:
     """Fabricate an artificial scribble map from a dense label.
 
     Per-class skeleton becomes the scribble; everything else is the ignored
@@ -71,18 +72,31 @@ def generate_scribble(lab: np.ndarray, num_classes: int,
     to the background) and re-skeletonisation — reference:
     utils/utils_artificial_scribbles.py:5-35.
 
+    ``style`` selects the scribble richness:
+      * "skeleton" — the reference's 1-px per-class skeleton (the LVSC
+        protocol; default).
+      * "dilated" — the skeleton dilated ``dilate_iters`` times, clipped
+        to the class mask.  A closer proxy for the human-drawn CHAOS/ACDC
+        scribbles, which are stroke-width marks, not 1-px curves; used to
+        separate "hard task" from "scribble-starved supervision" in the
+        synthetic quality study (VERDICT r2 weak item 5).
+
     Args:
       lab: (H, W) integer dense label.
     Returns:
       (H, W) integer scribble map with values in {0..num_classes-1,
       ignored_index}.
     """
+    assert style in ("skeleton", "dilated"), style
     h, w = lab.shape
     lab_oh = np.zeros((num_classes, h, w))
     scb_oh = np.zeros_like(lab_oh)
     for c in range(num_classes):
         lab_oh[c][lab == c] = 1
         ske = skeletonize(lab_oh[c])
+        if style == "dilated":
+            ske = ndimage.binary_dilation(
+                ske, iterations=dilate_iters, mask=lab_oh[c] > 0)
         scb_oh[c] = ske * lab_oh[c]
     ignored_region = 1 - np.sum(scb_oh, axis=0, keepdims=True)
     scb_oh = np.concatenate([scb_oh, ignored_region], axis=0)

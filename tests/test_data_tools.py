@@ -60,6 +60,22 @@ def test_generate_scribble_classes_and_ignore():
     assert (scb != 3).sum() < 0.1 * lab.size
 
 
+def test_generate_scribble_dilated_style():
+    lab = np.zeros((40, 40), np.int32)
+    lab[10:25, 8:20] = 1
+    lab[28:36, 25:36] = 2
+    thin = generate_scribble(lab, num_classes=3, ignored_index=3)
+    thick = generate_scribble(lab, num_classes=3, ignored_index=3,
+                              style="dilated", dilate_iters=2)
+    # strictly richer supervision, still confined to the class regions
+    assert (thick != 3).sum() > (thin != 3).sum()
+    assert np.all(lab[thick == 1] == 1)
+    assert np.all(lab[thick == 2] == 2)
+    # every skeleton pixel survives dilation (superset per class)
+    for c in (1, 2):
+        assert np.all(thick[thin == c] == c)
+
+
 def test_generate_scribble_background_only_line():
     lab = np.zeros((48, 48), np.int32)
     scb = generate_scribble(lab, num_classes=2, ignored_index=2)
