@@ -1,0 +1,123 @@
+"""Summarise a three-arm quality study into the README-style table.
+
+The study (scripts/quality_study.sh) mirrors the reference's headline
+comparison: Baseline/Control (UNet + pCE), PacingPseudo/Experiment (full
+pacing losses), Upperbound (fully supervised) — the reference publishes
++0.26 DSC between the first two on CHAOS T1 (reference README.md:114-116).
+Each arm leaves:
+
+  <root>/<arm>/run-fold0/valdice.npz                 per-epoch val Dice
+  <root>/<arm>/outputs/Inference/<ds>/run-fold0/eval_data.npz
+        dicearr (N, C) / hd95arr (N, C) / uids (N,)  test-fold metrics
+
+Per-patient aggregation follows the published protocol (README.md:106):
+average each foreground class over patients (uid prefix before the last
+'-'), then over classes, NaN-excluded.
+
+Usage:  python -m pacingpseudo_tpu.tools.study_summary \
+            --root study_r3 [--arms Control Experiment Upperbound] \
+            [--dataset chaost1] [--json out.json]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def _patient_of(uid: str) -> str:
+    """'21-T1-115' -> patient '21' (slice index after the last dash)."""
+    return uid.rsplit("-", 1)[0]
+
+
+def per_slice_dice(dicearr: np.ndarray) -> float:
+    """Mean over foreground classes then slices, NaN-excluded per slice."""
+    fg = dicearr[:, 1:]
+    per = np.nanmean(fg, axis=1)
+    return float(np.nanmean(per))
+
+
+def per_patient_dice(dicearr: np.ndarray, uids: np.ndarray) -> float:
+    """README.md:106 protocol: class -> patient mean -> class mean."""
+    fg = dicearr[:, 1:]
+    pats = np.array([_patient_of(u) for u in uids])
+    classes = []
+    for c in range(fg.shape[1]):
+        col = fg[:, c]
+        means = [np.nanmean(col[pats == p]) for p in np.unique(pats)]
+        means = [m for m in means if np.isfinite(m)]
+        if means:
+            classes.append(float(np.mean(means)))
+    return float(np.mean(classes)) if classes else float("nan")
+
+
+def summarise_arm(root: str, arm: str, dataset: str) -> dict:
+    out: dict = {"arm": arm}
+    vd_path = os.path.join(root, arm, "run-fold0", "valdice.npz")
+    if os.path.exists(vd_path):
+        vd = np.load(vd_path)["valdice"]
+        valid = np.where(np.isfinite(vd))[0]
+        if valid.size:
+            best = int(valid[np.argmax(vd[valid])])
+            out["best_val_dice"] = float(vd[best])
+            out["best_epoch"] = best
+            out["epochs"] = int(vd.shape[0])
+    pats = glob.glob(os.path.join(
+        root, arm, "outputs", "Inference", dataset, "run-*", "eval_data.npz"))
+    if pats:
+        d = np.load(sorted(pats)[-1], allow_pickle=True)
+        dice, hd95 = d["dicearr"], d["hd95arr"]
+        out["test_dice_slice"] = per_slice_dice(dice)
+        out["test_dice_patient"] = (
+            per_patient_dice(dice, d["uids"]) if "uids" in d else None)
+        fg_h = hd95[:, 1:]
+        out["test_hd95_slice"] = float(np.nanmean(np.nanmean(fg_h, axis=1)))
+        out["n_slices"] = int(dice.shape[0])
+    return out
+
+
+def render_table(rows: list[dict]) -> str:
+    hdr = ("| Arm | best val Dice (epoch) | test Dice (slice) | "
+           "test Dice (patient) | test HD95 |")
+    sep = "|---|---|---|---|---|"
+    lines = [hdr, sep]
+    for r in rows:
+        bv = (f"{r['best_val_dice']:.4f} ({r['best_epoch']})"
+              if "best_val_dice" in r else "—")
+        ts = (f"{r['test_dice_slice']:.4f}"
+              if r.get("test_dice_slice") is not None else "—")
+        tp = (f"{r['test_dice_patient']:.4f}"
+              if r.get("test_dice_patient") is not None else "—")
+        th = (f"{r['test_hd95_slice']:.1f}"
+              if r.get("test_hd95_slice") is not None else "—")
+        lines.append(f"| {r['arm']} | {bv} | {ts} | {tp} | {th} |")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="study_r3")
+    ap.add_argument("--arms", nargs="+",
+                    default=["Control", "Experiment", "Upperbound"])
+    ap.add_argument("--dataset", default="chaost1")
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    rows = [summarise_arm(args.root, a, args.dataset) for a in args.arms]
+    print(render_table(rows))
+    by_arm = {r["arm"]: r for r in rows}
+    ctrl = by_arm.get("Control", {}).get("test_dice_patient")
+    expt = by_arm.get("Experiment", {}).get("test_dice_patient")
+    if ctrl is not None and expt is not None:
+        print(f"\nExperiment - Control = {expt - ctrl:+.4f} DSC "
+              f"(reference gains +0.26 on real CHAOS T1, README.md:114-115)")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

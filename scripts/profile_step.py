@@ -72,6 +72,9 @@ def main():
                     help="skip running; just aggregate this trace dir")
     ap.add_argument("--aug_only", action="store_true",
                     help="profile the augmentation program alone")
+    ap.add_argument("--warp_impl", type=str, default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="warp-table construction A/B (aug/params.py)")
     args = ap.parse_args()
 
     if args.parse_only:
@@ -108,7 +111,9 @@ def main():
         "size": jnp.asarray(np.tile([CANVAS, CANVAS], (B, 1)), jnp.int32),
     }
     key = jax.random.PRNGKey(1)
-    bp = base_params_for("chaos")
+    import dataclasses
+    bp = dataclasses.replace(base_params_for("chaos"),
+                             warp_table_impl=args.warp_impl)
     sp = strong_params_for("TransformsColor", 1.0)
 
     if args.aug_only:
@@ -122,6 +127,11 @@ def main():
             return out
 
         float(run_k(raw, key, k=args.steps))
+        t0 = time.time()
+        float(run_k(raw, key, k=args.steps))
+        dt = (time.time() - t0) / args.steps
+        print(f"aug batch {B} [{args.warp_impl}]: {dt * 1e3:.2f} ms/step "
+              f"(incl. sync floor)")
         with jax.profiler.trace(out):
             float(run_k(raw, key, k=args.steps))
     else:
