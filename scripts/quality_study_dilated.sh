@@ -1,0 +1,49 @@
+#!/bin/bash
+# Dilated-scribble variant of the three-arm quality study (VERDICT r2
+# weak item 5 follow-up): same hard-difficulty fold, but scribbles are
+# stroke-width dilations of the skeleton (tools/scribbles.py
+# style='dilated') — a closer proxy for the human-drawn CHAOS/ACDC
+# scribbles than the 1-px LVSC skeleton protocol.
+#
+# Only Control and Experiment arms run: Upperbound trains on dense
+# labels and never reads the scribbles, so the main study's Upperbound
+# (study_r3/Upperbound) bounds this variant too.
+#
+# 200 epochs, not 400: in the skeleton-scribble study every arm reaches
+# its best val Dice before epoch ~100 and then decays (overfitting the
+# 1,916-slice synthetic fold); 200 epochs gives 2x margin over the
+# latest observed peak while halving chip time.  Justification per
+# VERDICT r2 item 1 ("justify any shorter budget").
+set -u
+cd /root/repo
+ROOT=${STUDY_ROOT:-/root/repo/study_r3_dilated}
+export STUDY_ROOT=$ROOT
+export STUDY_EPOCHS=${STUDY_EPOCHS:-200}
+export STUDY_DIFFICULTY=hard
+mkdir -p "$ROOT"
+
+run_arm () {
+  local session=$1; shift
+  local rd=$ROOT/$session
+  if [ -f "$rd/DONE" ]; then echo "skip $session (done)"; return 0; fi
+  mkdir -p "$rd"
+  echo "[$(date +%H:%M:%S)] training $session (dilated scribbles)"
+  python train_chaos.py --session "$session" --tag study_r3_dilated \
+      --fold 0 --modality t1 --epoch "$STUDY_EPOCHS" \
+      --synthetic_data 1916 --synthetic_difficulty hard \
+      --synthetic_scribble_style dilated \
+      --data_root "$ROOT/data" --run_dir "$rd/run-fold0" --max_restarts 2 \
+      "$@" > "$rd/train.log" 2>&1 || { echo "$session TRAIN FAILED"; return 1; }
+  echo "[$(date +%H:%M:%S)] evaluating $session"
+  python inference.py --dataset chaost1 --fold 0 \
+      --checkpoint_file "$rd/run-fold0" --best_ckp --data_root "$ROOT/data" \
+      --root "$rd/outputs" \
+      > "$rd/eval.log" 2>&1 || { echo "$session EVAL FAILED"; return 1; }
+  touch "$rd/DONE"
+}
+
+run_arm Control
+run_arm Experiment --do_loss_ent --do_decoder_consistency --do_aux_path --do_memory
+echo "[$(date +%H:%M:%S)] dilated study complete"
+python -m pacingpseudo_tpu.tools.study_summary --root "$ROOT" \
+    --arms Control Experiment --json "$ROOT/summary.json" || true
