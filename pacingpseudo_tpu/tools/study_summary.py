@@ -10,9 +10,9 @@ Each arm leaves:
   <root>/<arm>/outputs/Inference/<ds>/run-fold0/eval_data.npz
         dicearr (N, C) / hd95arr (N, C) / uids (N,)  test-fold metrics
 
-Per-patient aggregation follows the published protocol (README.md:106):
-average each foreground class over patients (uid prefix before the last
-'-'), then over classes, NaN-excluded.
+Per-patient aggregation reuses evals.infer.aggregate_per_patient — the
+published protocol (README.md:106): average each foreground class over
+patients, then over classes, NaN-excluded.
 
 Usage:  python -m pacingpseudo_tpu.tools.study_summary \
             --root study_r3 [--arms Control Experiment Upperbound] \
@@ -28,30 +28,11 @@ import os
 import numpy as np
 
 
-def _patient_of(uid: str) -> str:
-    """'21-T1-115' -> patient '21' (slice index after the last dash)."""
-    return uid.rsplit("-", 1)[0]
-
-
 def per_slice_dice(dicearr: np.ndarray) -> float:
     """Mean over foreground classes then slices, NaN-excluded per slice."""
     fg = dicearr[:, 1:]
     per = np.nanmean(fg, axis=1)
     return float(np.nanmean(per))
-
-
-def per_patient_dice(dicearr: np.ndarray, uids: np.ndarray) -> float:
-    """README.md:106 protocol: class -> patient mean -> class mean."""
-    fg = dicearr[:, 1:]
-    pats = np.array([_patient_of(u) for u in uids])
-    classes = []
-    for c in range(fg.shape[1]):
-        col = fg[:, c]
-        means = [np.nanmean(col[pats == p]) for p in np.unique(pats)]
-        means = [m for m in means if np.isfinite(m)]
-        if means:
-            classes.append(float(np.mean(means)))
-    return float(np.mean(classes)) if classes else float("nan")
 
 
 def summarise_arm(root: str, arm: str, dataset: str) -> dict:
@@ -71,8 +52,13 @@ def summarise_arm(root: str, arm: str, dataset: str) -> dict:
         d = np.load(sorted(pats)[-1], allow_pickle=True)
         dice, hd95 = d["dicearr"], d["hd95arr"]
         out["test_dice_slice"] = per_slice_dice(dice)
-        out["test_dice_patient"] = (
-            per_patient_dice(dice, d["uids"]) if "uids" in d else None)
+        if "uids" in d:
+            from pacingpseudo_tpu.evals.infer import aggregate_per_patient
+            agg = aggregate_per_patient(d["uids"], dice, dice.shape[1])
+            out["test_dice_patient"] = agg["overall"]
+            out["n_patients"] = agg["num_patients"]
+        else:
+            out["test_dice_patient"] = None
         fg_h = hd95[:, 1:]
         out["test_hd95_slice"] = float(np.nanmean(np.nanmean(fg_h, axis=1)))
         out["n_slices"] = int(dice.shape[0])
