@@ -145,6 +145,45 @@ def test_driver_variable_size_slices(tmp_path):
     assert np.all(vl > 0)
 
 
+def test_driver_frozen_bn_quirk(data_root, tmp_path):
+    """``ref_quirk_bn_eval_after_first_epoch`` reproduces the reference's
+    eval()-forever regime (train_chaos.py:370 calls model.eval() at the
+    first validation and nothing ever calls model.train() again): epoch 0
+    trains with batch-statistic BN, every later epoch runs the frozen-BN
+    step variant.  Driver-level contract: batch_stats are bit-identical
+    from ckp_0 on while params keep training; with the quirk off the
+    stats keep moving every epoch."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    def stats_of(run, epoch):
+        path = os.path.abspath(os.path.join(run, "ckps", f"ckp_{epoch}"))
+        return ocp.PyTreeCheckpointer().restore(path)
+
+    def runs_differ(a, b):
+        leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+        return any(not np.array_equal(x, y) for x, y in zip(leaves_a, leaves_b))
+
+    cfg = _config(epoch=3, ckp_interval=1,
+                  ref_quirk_bn_eval_after_first_epoch=True)
+    run_q = str(tmp_path / "quirk")
+    os.makedirs(os.path.join(run_q, "ckps"), exist_ok=True)
+    train_driver(cfg, data_root, run_dir=run_q)
+    q0, q1, q2 = (stats_of(run_q, e) for e in range(3))
+    assert not runs_differ(q0["batch_stats"], q1["batch_stats"])
+    assert not runs_differ(q1["batch_stats"], q2["batch_stats"])
+    assert runs_differ(q1["params"], q2["params"])   # still learning
+    vd = np.load(os.path.join(run_q, "valdice.npz"))["valdice"]
+    assert vd.shape == (3,) and np.all(np.isfinite(vd))
+
+    cfg_off = _config(epoch=2, ckp_interval=1)
+    run_o = str(tmp_path / "noquirk")
+    os.makedirs(os.path.join(run_o, "ckps"), exist_ok=True)
+    train_driver(cfg_off, data_root, run_dir=run_o)
+    o0, o1 = (stats_of(run_o, e) for e in range(2))
+    assert runs_differ(o0["batch_stats"], o1["batch_stats"])
+
+
 def test_auto_spatial_fallback_uses_all_devices(tmp_path):
     """VERDICT r2 item 3: the reference batch of 12 only divides 6 of 8
     devices; spatial_shards=0 (default) must auto-factor the mesh as
