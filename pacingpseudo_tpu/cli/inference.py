@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="regex whose first capture group maps a slice uid to "
                         "its patient id for the per-patient aggregation "
                         "(default: first '_'-separated token)")
+    p.add_argument("--save_pred", action="store_true", default=False,
+                   help="also write each slice's hard prediction to "
+                        "<run_dir>/preds/<uid>.npz (uint8, cropped to the "
+                        "slice's true extent)")
     return p
 
 
@@ -105,6 +109,7 @@ def main(argv=None):
         num_workers=args.num_workers,
         spatial_shards=args.spatial_shards,
         patient_regex=args.patient_regex,
+        save_pred=os.path.join(run_dir, "preds") if args.save_pred else "",
     )
 
 

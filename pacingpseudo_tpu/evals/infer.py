@@ -85,7 +85,16 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
                   data_root: str, run_dir: str, batch_size: int = 8,
                   model_kwargs: Dict = None, compute_dtype: str = "bfloat16",
                   num_workers: int = 4, spatial_shards: int = 1,
-                  patient_regex: str = "", max_backlog: int = 4096):
+                  patient_regex: str = "", max_backlog: int = 4096,
+                  save_pred: str = ""):
+    """See module docstring.  ``save_pred``: when set, each slice's hard
+    prediction (uint8, cropped to its true extent) is written to
+    ``<save_pred>/<uid>.npz`` (key ``pred``) as it streams off the device —
+    constant host memory even at LVSC scale.  The reference driver has no
+    prediction-export path (it logs metrics only, inference.py:150-194);
+    this supports downstream use (challenge submission, qualitative
+    review); ``tools.medio.write_nifti`` can stack a patient's slices
+    (sorted by uid) into a volume the challenge evaluators accept."""
     spec = DATASETS[dataset]
     num_classes = spec.num_classes
     spacing = spec.spacing
@@ -148,9 +157,15 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
     meter_dice = [AvgMeter() for _ in range(num_classes)]
     meter_hd95 = [AvgMeter() for _ in range(num_classes)]
 
-    def host_metrics(pred, label, h, w):
+    if save_pred:
+        os.makedirs(save_pred, exist_ok=True)
+
+    def host_metrics(pred, label, h, w, uid):
         p = pred[:h, :w]
         l = label[:h, :w].astype(np.int64)
+        if save_pred:
+            np.savez_compressed(os.path.join(save_pred, f"{uid}.npz"),
+                                uid=uid, pred=p.astype(np.uint8))
         return (compute_dice_hard(p, l, num_classes),
                 compute_95hd(p, l, num_classes, spacing))
 
@@ -180,7 +195,8 @@ def run_inference(dataset: str, fold: int, checkpoint_path: str,
             for i in range(preds.shape[0]):
                 h, w = int(raw["size"][i][0]), int(raw["size"][i][1])
                 pending.append(pool.submit(
-                    host_metrics, preds[i], raw["label"][i], h, w))
+                    host_metrics, preds[i], raw["label"][i], h, w,
+                    str(raw["uid"][i])))
                 uids.append(str(raw["uid"][i]))
                 n_slices += 1
             while pending and pending[0].done():

@@ -68,6 +68,7 @@ def test_inference_cli(trained):
         "--checkpoint_file", rd, "--best_ckp", "--init_ch", "8",
         "--compute_dtype", "float32", "--batch_size", "4",
         "--data_root", trained["data_root"], "--root", out_root,
+        "--save_pred",
     ])
     assert r.returncode == 0, r.stderr[-3000:]
     eval_npz = glob.glob(out_root + "/Inference/chaost1/*/eval_data.npz")
@@ -75,6 +76,12 @@ def test_inference_cli(trained):
     data = np.load(eval_npz[0])
     assert data["dicearr"].shape[1] == 5
     assert data["hd95arr"].shape == data["dicearr"].shape
+    # --save_pred streams one npz per slice, keyed by uid, cropped uint8
+    preds = sorted(glob.glob(out_root + "/Inference/chaost1/*/preds/*.npz"))
+    assert len(preds) == data["dicearr"].shape[0]
+    p0 = np.load(preds[0])
+    assert p0["pred"].dtype == np.uint8 and p0["pred"].max() < 5
+    assert str(p0["uid"]) + ".npz" == os.path.basename(preds[0])
 
 
 def test_inference_cli_spatial_matches(trained):
