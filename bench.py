@@ -20,6 +20,7 @@ augmentation as the throughput risk).  The estimate and arithmetic live
 here so the judge can audit it.
 """
 import json
+import os
 import sys
 import time
 
@@ -31,7 +32,10 @@ BATCH = 12          # reference training batch (train_chaos.py:93)
 H = W = 256         # CHAOS input size (chaos_aug_configs.py:11)
 C = 5               # CHAOS classes (chaos_aug_configs.py:9)
 CANVAS = 256
-MEASURE_STEPS = 30
+# Smoke knobs (wiring validation on CPU when the chip is unavailable);
+# the driver invokes bench.py with no env -> full defaults.
+MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", "30"))
+SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 
 def main():
@@ -148,26 +152,45 @@ def main():
     flops_per_step = 340e9 * BATCH
     mfu = flops_per_step / dt / V5E_PEAK_BF16
 
-    # Aug-only timing: scan the augmentation program alone.
+    # Aug-only timing: scan the augmentation program alone.  Timed once per
+    # warp-table construction impl (NOTES.md gap 3 / round-3 Pallas kernel,
+    # ops/pallas/warp_table.py) so BENCH records the A/B even when the
+    # manual profile run never lands; the breakdown's "aug" entry is the
+    # default ("auto") impl actually used by the headline train step.
+    import dataclasses
+
     from pacingpseudo_tpu.aug.engine import augment_batch
-    bp = base_params_for("chaos")
     sp = strong_params_for("TransformsColor", 1.0)
 
-    @functools.partial(jax.jit, static_argnames=("k_steps",))
-    def run_aug_k(raw, key, k_steps):
-        def body(c, i):
-            b = augment_batch(raw, jax.random.fold_in(key, i), bp, sp, True)
-            # consume every output so no branch is dead-code eliminated
-            s = (jnp.sum(b["image"]) + jnp.sum(b["label"])
-                 + jnp.sum(b["scribble"]) + jnp.sum(b["image_strong"]))
-            return c + s, None
-        out, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k_steps))
-        return out
+    def time_aug(warp_impl):
+        bp = dataclasses.replace(base_params_for("chaos"),
+                                 warp_table_impl=warp_impl)
 
-    float(run_aug_k(raws[0], key, k_steps=MEASURE_STEPS))
-    t0 = time.time()
-    float(run_aug_k(raws[1], key, k_steps=MEASURE_STEPS))
-    aug_ms = max(time.time() - t0 - floor, 0.0) / MEASURE_STEPS * 1e3
+        @functools.partial(jax.jit, static_argnames=("k_steps",))
+        def run_aug_k(raw, key, k_steps):
+            def body(c, i):
+                b = augment_batch(raw, jax.random.fold_in(key, i), bp, sp, True)
+                # consume every output so no branch is dead-code eliminated
+                s = (jnp.sum(b["image"]) + jnp.sum(b["label"])
+                     + jnp.sum(b["scribble"]) + jnp.sum(b["image_strong"]))
+                return c + s, None
+            out, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k_steps))
+            return out
+
+        float(run_aug_k(raws[0], key, k_steps=MEASURE_STEPS))
+        t0 = time.time()
+        float(run_aug_k(raws[1], key, k_steps=MEASURE_STEPS))
+        return max(time.time() - t0 - floor, 0.0) / MEASURE_STEPS * 1e3
+
+    aug_ms = time_aug("auto")
+    aug_by_impl = {"auto": round(aug_ms, 2)}
+    for impl in ("xla", "pallas"):
+        try:
+            aug_by_impl[impl] = round(time_aug(impl), 2)
+        except Exception as e:  # Mosaic/backend gaps must not sink the bench
+            aug_by_impl[impl] = None
+            print(f"warp impl {impl} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     step_ms = dt * 1e3
 
     # ---- Batch-scaling table (larger batches amortise the small-channel
@@ -177,7 +200,7 @@ def main():
     # pressure the larger-batch compiles into spilling.
     del state
     scaling = {str(BATCH): round(slices_per_sec, 1)}
-    for nb in (24, 48):
+    for nb in () if SKIP_SCALING else (24, 48):
         raw_b = {
             "image": jnp.asarray(rng.randn(nb, CANVAS, CANVAS), jnp.float32),
             "label": jnp.asarray(rng.randint(0, C, (nb, CANVAS, CANVAS)),
@@ -230,6 +253,7 @@ def main():
         "breakdown_ms": {"step": round(step_ms, 2),
                          "aug": round(aug_ms, 2),
                          "model_fwd_bwd_opt": round(step_ms - aug_ms, 2)},
+        "aug_ms_by_warp_impl": aug_by_impl,
         "batch_scaling_slices_per_sec": scaling,
     }))
     return slices_per_sec
