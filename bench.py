@@ -39,6 +39,13 @@ SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 
 def main():
+    # Mechanical chip safety (VERDICT r3 item 7): refuse with ONE clear
+    # sentence when the relay tunnel is down, and hold the exclusive chip
+    # flock so a concurrent client can't wedge the relay mid-measurement
+    # (waits up to 15 min for a finishing holder first).
+    from pacingpseudo_tpu.utils.chiplock import preflight_chip
+    preflight_chip(owner_note="bench.py", wait_s=900.0)
+
     import jax
     import jax.numpy as jnp
 
@@ -193,6 +200,48 @@ def main():
                   file=sys.stderr)
     step_ms = dt * 1e3
 
+    # ---- MXU-BN A/B (VERDICT r3 item 1): time the identical train step
+    # with BatchNorm statistics as plain reduces (what flax nn.BatchNorm
+    # lowers to) vs the round-3 matmul-moments rework (ops/fused_bn.py).
+    # The headline number above used the default impl; this records the
+    # delta so the default is set from data.
+    from pacingpseudo_tpu.models.norm import get_bn_impl, set_bn_impl
+    default_bn = get_bn_impl()
+    step_ms_by_bn_impl = {default_bn: round(step_ms, 2)}
+    other_bn = "reduce" if default_bn == "matmul" else "matmul"
+    try:
+        set_bn_impl(other_bn)
+        st_o = create_train_state(jax.random.PRNGKey(0), model, tx, tmpl,
+                                  with_memory=True, num_classes=C)
+        step_o = make_pacing_train_step(config, model, tx, steps_per_epoch,
+                                        augment_fn=augment_fn, donate=False)
+
+        @functools.partial(jax.jit, static_argnames=("k_steps",))
+        def run_o(state, raw, key, k_steps):
+            def body(carry, i):
+                st, _ = carry
+                st, metrics = step_o(st, raw, jax.random.fold_in(key, i))
+                return (st, metrics["loss_total"]), None
+            (st, last), _ = jax.lax.scan(body, (state, jnp.zeros(())),
+                                         jnp.arange(k_steps))
+            return st, last
+
+        k_bn = min(MEASURE_STEPS, 16)
+        st_o, last_o = run_o(st_o, raws[0], key, k_steps=k_bn)
+        float(last_o)
+        t0 = time.time()
+        st_o, last_o = run_o(st_o, raws[1], key, k_steps=k_bn)
+        float(last_o)
+        step_ms_by_bn_impl[other_bn] = round(
+            max(time.time() - t0 - floor, 1e-9) / k_bn * 1e3, 2)
+        del st_o, last_o, run_o, step_o
+    except Exception as e:
+        step_ms_by_bn_impl[other_bn] = None
+        print(f"bn impl {other_bn} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    finally:
+        set_bn_impl(default_bn)
+
     # ---- Batch-scaling table (larger batches amortise the small-channel
     # stages' bandwidth floor; the headline stays at the reference's batch
     # 12, train_chaos.py:93).  Same scanned-chain methodology, fewer steps.
@@ -254,10 +303,16 @@ def main():
                          "aug": round(aug_ms, 2),
                          "model_fwd_bwd_opt": round(step_ms - aug_ms, 2)},
         "aug_ms_by_warp_impl": aug_by_impl,
+        "step_ms_by_bn_impl": step_ms_by_bn_impl,
         "batch_scaling_slices_per_sec": scaling,
     }))
     return slices_per_sec
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() > 0 else 1)
+    try:
+        ok = main() > 0
+    except RuntimeError as e:
+        print(f"bench.py refusing to run: {e}", file=sys.stderr)
+        ok = False
+    sys.exit(0 if ok else 1)

@@ -68,9 +68,10 @@ class BaseAugParams:
     # cheaper).  Labels/scribbles always use the exact 4-tap class vote.
     image_interp: str = "bicubic"
 
-    # Warp gather-table construction: "auto" (Pallas row-layout kernel on
-    # TPU, XLA rolled-planes elsewhere), "pallas", or "xla"
-    # (ops/pallas/warp_table.py).
+    # Warp gather-table construction (ops/pallas/warp_table.py): "pallas"
+    # (row-layout kernel), "xla" (rolled planes), or "auto" — which
+    # currently resolves to the measured-faster default chosen in
+    # ops/warp.py (XLA until an on-chip A/B says otherwise).
     warp_table_impl: str = "auto"
 
 

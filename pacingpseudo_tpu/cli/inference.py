@@ -65,6 +65,14 @@ def main(argv=None):
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    # Mechanical single-chip safety (see utils/chiplock.py).
+    from pacingpseudo_tpu.utils.chiplock import preflight_chip
+    preflight_chip(owner_note=f"cli.inference {args.dataset} fold{args.fold}",
+                   wait_s=float(os.environ.get("CHIP_LOCK_WAIT", "0")))
+
+    from pacingpseudo_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+
     # fold/checkpoint alignment (inference.py:269)
     assert f"fold{args.fold}" in args.checkpoint_file, (
         f"checkpoint path must contain fold{args.fold}")

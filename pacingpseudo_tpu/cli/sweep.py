@@ -34,14 +34,24 @@ def main(argv=None):
     from pacingpseudo_tpu.config import DATASETS
     from pacingpseudo_tpu.evals.infer import run_inference
     from pacingpseudo_tpu.train.loop import train_driver
+    from pacingpseudo_tpu.utils.chiplock import preflight_chip
+    from pacingpseudo_tpu.utils.jaxcache import enable_persistent_cache
+
+    preflight_chip(owner_note=f"cli.sweep {args.session} {args.tag}",
+                   wait_s=float(os.environ.get("CHIP_LOCK_WAIT", "0")))
+    enable_persistent_cache()
 
     if args.synthetic_data:
         from pacingpseudo_tpu.data.synthetic import write_synthetic_dataset
         spec = DATASETS[args.dataset]
         write_synthetic_dataset(
             args.data_root, args.dataset, args.synthetic_data,
-            spec.input_size, spec.num_classes, spec.ignored_index,
-            modality=args.modality, seed=args.seed)
+            tuple(args.input_size) if args.input_size else spec.input_size,
+            spec.num_classes, spec.ignored_index,
+            modality=args.modality, seed=args.seed,
+            size_jitter=args.synthetic_size_jitter,
+            difficulty=args.synthetic_difficulty,
+            scribble_style=args.synthetic_scribble_style)
         args.synthetic_data = 0
 
     eval_ds = args.dataset

@@ -15,6 +15,7 @@ TPU-specific additions (no reference analogue): ``--data_root``,
 from __future__ import annotations
 
 import argparse
+import os
 import random
 
 import numpy as np
@@ -169,10 +170,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="generate N synthetic slices under --data_root first")
     p.add_argument("--synthetic_difficulty", type=str, default="easy",
-                   choices=["easy", "hard"],
+                   choices=["easy", "hard", "jagged"],
                    help="phantom task difficulty (data/synthetic.py: 'hard' "
                         "= intensity-overlapping positional anatomy with "
-                        "distractors, for the quality study)")
+                        "distractors, for the quality study; 'jagged' = "
+                        "hard with star-deformed non-convex boundaries)")
     p.add_argument("--synthetic_scribble_style", type=str,
                    default="skeleton", choices=["skeleton", "dilated"],
                    help="synthetic scribble richness (tools/scribbles.py: "
@@ -266,6 +268,19 @@ def main(argv=None):
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    # Mechanical single-chip safety: relay-liveness + exclusive flock
+    # BEFORE any jax device op (no-op off-TPU; CHIP_LOCK_WAIT seconds of
+    # patience for a finishing holder, default 0).
+    from pacingpseudo_tpu.utils.chiplock import preflight_chip
+    preflight_chip(owner_note=f"cli.train {args.session} {args.tag}",
+                   wait_s=float(os.environ.get("CHIP_LOCK_WAIT", "0")))
+
+    # Persistent XLA compile cache — without it every process start (and
+    # every crash-auto-resume) repays the full compile (774 s at LVSC
+    # scale, round-3 rehearsal).
+    from pacingpseudo_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+
     config = config_from_args(args).validate()
 
     if args.synthetic_data:
@@ -286,7 +301,6 @@ def main(argv=None):
     # the run auto-resumes from its latest checkpoint in the SAME run dir,
     # up to --max_restarts times.  KeyboardInterrupt always propagates.
     if args.run_dir:
-        import os
         run_dir = args.run_dir
         os.makedirs(os.path.join(run_dir, "ckps"), exist_ok=True)
     else:

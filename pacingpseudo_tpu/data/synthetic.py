@@ -37,6 +37,19 @@ def _ellipse_mask(yy, xx, cy, cx, ry, rx, theta):
     return (dy / ry) ** 2 + (dx / rx) ** 2 <= 1.0
 
 
+def _blob_mask(yy, xx, cy, cx, r0, rng, waviness=0.45, harmonics=(2, 7)):
+    """Star-deformed blob: radius r0·(1 + w·Σ sin(kθ+φ)/k) — non-convex
+    organ boundaries whose extent scribble supervision alone
+    underconstrains (the regime knob for the pacing-wins hunt)."""
+    th = np.arctan2(yy - cy, xx - cx)
+    rad = np.hypot(yy - cy, xx - cx)
+    pert = np.zeros_like(th)
+    for k in range(*harmonics):
+        pert += rng.uniform(-1.0, 1.0) / k * np.sin(
+            k * th + rng.uniform(0, 2 * np.pi))
+    return rad <= r0 * (1.0 + waviness * pert)
+
+
 def make_phantom(rng: np.random.RandomState, size: Tuple[int, int],
                  num_classes: int, difficulty: str = "easy"
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -54,6 +67,10 @@ def make_phantom(rng: np.random.RandomState, size: Tuple[int, int],
         segmentation requires shape/position context, leaving room for
         the consistency/pseudo-label machinery to matter (the regime the
         reference's +0.26 DSC gap lives in, README.md:114-115).
+      * "jagged" — "hard" with star-deformed non-convex organ boundaries
+        (_blob_mask): many more boundary pixels per organ, so sparse
+        scribbles underconstrain extent — the knob family for the
+        pacing-wins regime hunt (VERDICT r4 item 2).
     """
     h, w = size
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
@@ -72,26 +89,38 @@ def make_phantom(rng: np.random.RandomState, size: Tuple[int, int],
         img += rng.randn(h, w).astype(np.float32) * 0.02
         return img.astype(np.float32), lab
 
-    assert difficulty == "hard", difficulty
+    assert difficulty in ("hard", "jagged"), difficulty
+    jagged = difficulty == "jagged"
     img = rng.randn(h, w) * 0.05 + _smooth_field(rng, h, w, 32, 0.25)
     n_fg = max(num_classes - 1, 1)
     for c in range(1, num_classes):
         ang = 2 * np.pi * (c - 1) / n_fg + rng.uniform(-0.35, 0.35)
         cy = h * (0.5 + 0.22 * np.sin(ang)) + rng.uniform(-0.06, 0.06) * h
         cx = w * (0.5 + 0.22 * np.cos(ang)) + rng.uniform(-0.06, 0.06) * w
-        mask = _ellipse_mask(yy, xx, cy, cx,
-                             rng.uniform(0.06 * h, 0.13 * h),
-                             rng.uniform(0.06 * w, 0.13 * w),
-                             rng.uniform(0, np.pi))
+        if jagged:
+            mask = _blob_mask(yy, xx, cy, cx,
+                              rng.uniform(0.07 * min(h, w),
+                                          0.12 * min(h, w)), rng)
+        else:
+            mask = _ellipse_mask(yy, xx, cy, cx,
+                                 rng.uniform(0.06 * h, 0.13 * h),
+                                 rng.uniform(0.06 * w, 0.13 * w),
+                                 rng.uniform(0, np.pi))
         lab[mask] = c
         mu = rng.uniform(0.25, 0.65)          # class-INdependent intensity
         img[mask] += mu + _smooth_field(rng, h, w, 16, 0.15)[mask]
     for _ in range(rng.randint(2, 4)):        # background distractors
-        mask = _ellipse_mask(
-            yy, xx, rng.uniform(0.12 * h, 0.88 * h),
-            rng.uniform(0.12 * w, 0.88 * w),
-            rng.uniform(0.04 * h, 0.09 * h),
-            rng.uniform(0.04 * w, 0.09 * w), rng.uniform(0, np.pi))
+        if jagged:
+            mask = _blob_mask(
+                yy, xx, rng.uniform(0.12 * h, 0.88 * h),
+                rng.uniform(0.12 * w, 0.88 * w),
+                rng.uniform(0.04 * min(h, w), 0.08 * min(h, w)), rng)
+        else:
+            mask = _ellipse_mask(
+                yy, xx, rng.uniform(0.12 * h, 0.88 * h),
+                rng.uniform(0.12 * w, 0.88 * w),
+                rng.uniform(0.04 * h, 0.09 * h),
+                rng.uniform(0.04 * w, 0.09 * w), rng.uniform(0, np.pi))
         mask &= lab == 0
         img[mask] += rng.uniform(0.25, 0.65)
     img += rng.randn(h, w) * 0.06
@@ -129,43 +158,72 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
     stamp = (f"{dataset} {num_slices} {size} {num_classes} {ignored_index} "
              f"{folds} {modality} {seed} {size_jitter} {difficulty} "
              f"{scribble_style}")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == stamp:
-                return [os.path.join("slices", f"pat{i // 24:03d}_"
-                                     f"slice{i % 24:03d}.npz")
-                        for i in range(num_slices)]
-
-    rel_paths = []
-    for i in range(num_slices):
-        sz = size
-        if size_jitter:
-            sz = (int(rng.randint(size[0] - size_jitter, size[0] + size_jitter + 1)),
-                  int(rng.randint(size[1] - size_jitter, size[1] + size_jitter + 1)))
-        img, lab = make_phantom(rng, sz, num_classes, difficulty)
-        scb = generate_scribble(lab, num_classes, ignored_index,
-                                style=scribble_style)
-        # patient-grouped uids (24 slices per pseudo-patient) so the
-        # per-patient aggregation protocol (evals/infer.py) is exercised
-        uid = f"pat{i // 24:03d}_slice{i % 24:03d}"
-        rel = os.path.join("slices", uid + ".npz")
-        np.savez(os.path.join(slice_dir, uid + ".npz"),
-                 uid=uid, img=img, lab=lab.astype(np.float32),
-                 scb=scb.astype(np.float32))
-        rel_paths.append(rel)
-
-    split_base = os.path.join(root, ds_dir, "train_test_split", "five_fold_split")
+    # 24 slices per pseudo-patient at study scale; for tiny smoke pools use
+    # smaller groups so every fold still has patients on BOTH sides of the
+    # patient-level split below.
+    group = 24 if num_slices >= 48 * folds else max(1,
+                                                    num_slices // (2 * folds))
+    all_rel = [os.path.join(
+        "slices", f"pat{i // group:03d}_slice{i % group:03d}.npz")
+        for i in range(num_slices)]
+    split_base = os.path.join(root, ds_dir, "train_test_split",
+                              "five_fold_split")
     if ds_dir == "chaos":
         split_base = os.path.join(split_base, modality)
+
+    def _pool_intact() -> bool:
+        if not os.path.exists(marker):
+            return False
+        with open(marker) as f:
+            if f.read().strip() != stamp:
+                return False
+        # Spot-check the marker isn't stale after a partial clean: first and
+        # last slice files must still exist.
+        ds_root = os.path.join(root, ds_dir)
+        return bool(all_rel) and all(
+            os.path.exists(os.path.join(ds_root, p))
+            for p in (all_rel[0], all_rel[-1]))
+
+    if not _pool_intact():
+        for i in range(num_slices):
+            sz = size
+            if size_jitter:
+                sz = (int(rng.randint(size[0] - size_jitter,
+                                      size[0] + size_jitter + 1)),
+                      int(rng.randint(size[1] - size_jitter,
+                                      size[1] + size_jitter + 1)))
+            img, lab = make_phantom(rng, sz, num_classes, difficulty)
+            scb = generate_scribble(lab, num_classes, ignored_index,
+                                    style=scribble_style)
+            # patient-grouped uids so the per-patient aggregation protocol
+            # (evals/infer.py) is exercised
+            uid = f"pat{i // group:03d}_slice{i % group:03d}"
+            np.savez(os.path.join(slice_dir, uid + ".npz"),
+                     uid=uid, img=img, lab=lab.astype(np.float32),
+                     scb=scb.astype(np.float32))
+
+    # Folds are PATIENT-level, mirroring the reference protocol (README.md:19
+    # "split slices into five folds at patient level") and prepare_data.
+    # write_five_fold_splits: sorted patients striped round-robin into test
+    # sets, so no pseudo-patient leaks across the train/test boundary.
+    # (Re)written even when the pool is cached — it is cheap and heals pools
+    # generated before this scheme existed.
+    by_patient: dict = {}
+    for p in all_rel:
+        by_patient.setdefault(
+            os.path.basename(p).split("_")[0], []).append(p)
+    patients = sorted(by_patient)
     os.makedirs(split_base, exist_ok=True)
     for fold in range(folds):
-        test = rel_paths[fold::folds]
-        test_set = set(test)
-        train = [p for p in rel_paths if p not in test_set]
+        test_p = set(patients[fold::folds])
+        train = [p for pat in patients if pat not in test_p
+                 for p in by_patient[pat]]
+        test = [p for pat in patients if pat in test_p
+                for p in by_patient[pat]]
         with open(os.path.join(split_base, f"train_fold{fold}.txt"), "w") as f:
             f.write("\n".join(train) + "\n")
         with open(os.path.join(split_base, f"test_fold{fold}.txt"), "w") as f:
             f.write("\n".join(test) + "\n")
     with open(marker, "w") as f:
         f.write(stamp + "\n")
-    return rel_paths
+    return all_rel

@@ -136,6 +136,27 @@ def _bn_bwd(eps, groups, res, cts):
 batch_norm_train.defvjp(_bn_fwd, _bn_bwd)
 
 
+def batch_norm_train_reduce(x, scale, bias, eps: float, groups: int):
+    """Reference reduce-based statistics (what ``flax.linen.BatchNorm``
+    lowers to): plain ``jnp.mean`` reductions, autodiff backward.
+
+    Kept as the measured A/B baseline for the matmul path — bench.py times
+    both end-to-end (``PACING_BN_IMPL``); semantics are identical.
+    """
+    c_phys = x.shape[-1]
+    c = c_phys // groups
+    x32 = x.astype(jnp.float32)
+    x_g = x32.reshape(-1, groups, c)
+    m = jnp.mean(x_g, axis=(0, 1))
+    v = jnp.mean(jnp.square(x_g), axis=(0, 1)) - jnp.square(m)
+    r = lax.rsqrt(v + eps)
+    m_t = _tile_groups(m, groups)
+    rg_t = _tile_groups(r * scale, groups)
+    b_t = _tile_groups(bias, groups)
+    y = ((x32 - m_t) * rg_t + b_t).astype(x.dtype)
+    return y, m, v
+
+
 def batch_norm_eval(x, scale, bias, mean, var, eps: float, groups: int):
     """Inference-mode normalize with running statistics (pure elementwise;
     XLA fuses it — no custom VJP needed)."""

@@ -304,28 +304,35 @@ def read_dicom(path: str) -> Dict[str, object]:
     }
 
 
-def read_dicom_series(paths: Sequence[str]) -> Tuple[np.ndarray,
-                                                     Tuple[float, float]]:
+def read_dicom_series(paths: Sequence[str], return_order: bool = False):
     """Read + sort a DICOM series → ``(volume (Z, H, W) float32, spacing)``.
 
     Slices sort by InstanceNumber (falling back to SliceLocation, then to
     filename) — the in-plane ordering the reference's per-slice export
     implies.
+
+    ``return_order=True`` additionally returns the file paths in the SAME
+    order as the stacked volume, so callers pairing per-slice masks (by
+    stem or by parallel filename-sorted lists) can keep image/mask slices
+    aligned even when instance order differs from lexicographic order
+    (e.g. ``..._ph2.dcm`` sorting after ``..._ph10.dcm``).
     """
     if not paths:
         raise ValueError("empty DICOM series")
-    slices: List[Tuple[tuple, np.ndarray, Tuple[float, float]]] = []
+    slices: List[Tuple[tuple, np.ndarray, Tuple[float, float], str]] = []
     for i, p in enumerate(sorted(paths)):
         d = read_dicom(p)
         key = (d["instance_number"],
                d["slice_location"] if d["slice_location"] == d["slice_location"]
                else 0.0, i)
-        slices.append((key, d["pixels"], d["spacing"]))
+        slices.append((key, d["pixels"], d["spacing"], p))
     slices.sort(key=lambda t: t[0])
     shapes = {s[1].shape for s in slices}
     if len(shapes) != 1:
         raise ValueError(f"inconsistent slice shapes in series: {shapes}")
     vol = np.stack([s[1] for s in slices])
+    if return_order:
+        return vol, slices[0][2], [s[3] for s in slices]
     return vol, slices[0][2]
 
 

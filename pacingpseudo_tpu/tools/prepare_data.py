@@ -237,19 +237,24 @@ def prepare_chaos(raw_dir: str, out_root: str, modality: str = "t1",
         files = find_dicom_files(dicom_root)
         if not files:
             continue
-        vol, sp = read_dicom_series(files)
+        vol, sp, ordered = read_dicom_series(files, return_order=True)
+        # Ground PNGs pair with DICOMs positionally when both lists are
+        # filename-sorted; the volume itself is stacked in INSTANCE order,
+        # so apply the same filename→instance permutation to the masks.
+        perm = [sorted(files).index(p) for p in ordered]
         ground = sorted(glob.glob(os.path.join(
             raw_dir, pat, seq, "Ground", "*.png")))
         if len(ground) != vol.shape[0]:
             raise ValueError(
                 f"{pat}: {len(ground)} Ground PNGs vs {vol.shape[0]} DICOMs")
-        lab_vol = np.stack([chaos_png_to_label(np.asarray(Image.open(g)))
-                            for g in ground])
+        lab_vol = np.stack([chaos_png_to_label(np.asarray(Image.open(
+            ground[i]))) for i in perm])
         scb_vol = None
         if scribble_dir:
             scbs = sorted(glob.glob(os.path.join(scribble_dir, pat, "*.png")))
             if len(scbs) == vol.shape[0]:
-                coded = np.stack([np.asarray(Image.open(s)) for s in scbs])
+                coded = np.stack([np.asarray(Image.open(scbs[i]))
+                                  for i in perm])
                 scb_vol = np.full(coded.shape, 5, np.uint8)
                 scb_vol[coded == 0] = 0            # background strokes
                 for lo, hi, cls in _CHAOS_RANGES:
@@ -285,9 +290,12 @@ def prepare_lvsc(raw_dir: str, out_root: str, mask_dir: Optional[str] = None,
         files = find_dicom_files(os.path.join(raw_dir, pat))
         if not files:
             continue
-        vol, sp = read_dicom_series(files)
+        # Masks pair with DICOMs by file stem; iterate in the VOLUME's
+        # (instance-sorted) order so lab_vol[z] matches vol[z] even when
+        # instance order differs from lexicographic filename order.
+        vol, sp, ordered = read_dicom_series(files, return_order=True)
         masks = []
-        for f in sorted(files):
+        for f in ordered:
             stem = os.path.splitext(os.path.basename(f))[0]
             cands = [os.path.splitext(f)[0] + ".png"]
             if mask_dir:

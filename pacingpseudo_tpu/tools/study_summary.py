@@ -46,6 +46,11 @@ def summarise_arm(root: str, arm: str, dataset: str) -> dict:
             out["best_val_dice"] = float(vd[best])
             out["best_epoch"] = best
             out["epochs"] = int(vd.shape[0])
+            # valdice is preallocated at the CONFIGURED epoch count
+            # (train/loop.py) — a wedged/interrupted run leaves trailing
+            # zeros.  Record what actually ran (VERDICT r3 weak item 5).
+            nz = np.where(np.nan_to_num(vd) != 0)[0]
+            out["epochs_completed"] = int(nz[-1] + 1) if nz.size else 0
     pats = glob.glob(os.path.join(
         root, arm, "outputs", "Inference", dataset, "run-*", "eval_data.npz"))
     if pats:

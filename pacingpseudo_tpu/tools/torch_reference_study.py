@@ -43,12 +43,37 @@ INIT_CH, MAX_CH, HID = 16, 256, 32
 LR, WD = 1e-4, 3e-4
 
 
-def build_stream(n_train, n_val, batch, epochs, seed):
+def _shorten_scribbles(scb: np.ndarray, ratio: float) -> np.ndarray:
+    """Per-class scribble shortening (the reference's own ablation knob,
+    utils_shorten_scribble_length.py): keep ``ratio`` of each stroke's
+    pixels, eroding from the endpoints; removed pixels become unknown."""
+    from pacingpseudo_tpu.tools.scribbles import delete_endpoints
+
+    out = scb.copy()
+    for c in range(C):
+        m = (scb == c).astype(np.float64)
+        length = int(m.sum())
+        if length == 0:
+            continue
+        short, _ = delete_endpoints(m, np.zeros_like(m), length, ratio)
+        out[(m > 0) & (short == 0)] = IGN
+    return out
+
+
+def build_stream(n_train, n_val, batch, epochs, seed, difficulty="hard",
+                 scribble_ratio=1.0, val_gamma=1.0):
     """Phantoms + scribbles + a per-step deterministic strong view.
 
     Returns (train_batches, val_set): train_batches is a list of
     epochs*steps dict batches (image, image_strong, scribble one-hot,
     valid_mask); every arm consumes the identical list.
+
+    Regime knobs for the pacing-wins hunt (VERDICT r4 item 2):
+      * ``difficulty`` — phantom family (data/synthetic.py make_phantom).
+      * ``scribble_ratio`` < 1 — shorten every scribble stroke to that
+        fraction of its length (sparser supervision).
+      * ``val_gamma`` != 1 — gamma-shift the VAL images only (train/test
+        intensity shift; consistency training should confer robustness).
     """
     from pacingpseudo_tpu.data.synthetic import make_phantom
     from pacingpseudo_tpu.tools.scribbles import generate_scribble
@@ -56,14 +81,22 @@ def build_stream(n_train, n_val, batch, epochs, seed):
     rng = np.random.RandomState(seed)
     imgs, labs, scbs = [], [], []
     for _ in range(n_train + n_val):
-        img, lab = make_phantom(rng, (HW, HW), C, "hard")
+        img, lab = make_phantom(rng, (HW, HW), C, difficulty)
         scb = generate_scribble(lab, C, IGN)
+        if scribble_ratio < 1.0:
+            scb = _shorten_scribbles(scb, scribble_ratio)
         imgs.append(img); labs.append(lab); scbs.append(scb)
     imgs = np.stack(imgs).astype(np.float32)
     labs = np.stack(labs).astype(np.int64)
     scbs = np.stack(scbs).astype(np.int64)
     tr = slice(0, n_train)
     va = slice(n_train, n_train + n_val)
+    if val_gamma != 1.0:
+        v = imgs[va]
+        lo = v.min(axis=(1, 2), keepdims=True)
+        hi = v.max(axis=(1, 2), keepdims=True)
+        u = (v - lo) / (hi - lo + 1e-8)
+        imgs[va] = (u ** val_gamma) * (hi - lo) + lo
 
     def strong_view(x, r):
         lo, hi = x.min(axis=(1, 2), keepdims=True), x.max(axis=(1, 2), keepdims=True)
@@ -233,6 +266,10 @@ def main(argv=None):
     ap.add_argument("--n_val", type=int, default=48)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--difficulty", default="hard",
+                    choices=["easy", "hard", "jagged"])
+    ap.add_argument("--scribble_ratio", type=float, default=1.0)
+    ap.add_argument("--val_gamma", type=float, default=1.0)
     ap.add_argument("--arms", nargs="+",
                     default=["torch_control", "torch_pacing",
                              "jax_control", "jax_pacing"])
@@ -240,7 +277,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     batches, steps, val = build_stream(
-        args.n_train, args.n_val, args.batch, args.epochs, args.seed)
+        args.n_train, args.n_val, args.batch, args.epochs, args.seed,
+        difficulty=args.difficulty, scribble_ratio=args.scribble_ratio,
+        val_gamma=args.val_gamma)
     print(f"stream: {steps} steps/epoch x {args.epochs} epochs, "
           f"val {args.n_val} slices", flush=True)
 
@@ -274,6 +313,11 @@ def main(argv=None):
               f"final {r['final_val_dice']:.4f}  ({r['minutes']} min)",
               flush=True)
 
+    results["_config"] = {
+        "epochs": args.epochs, "n_train": args.n_train, "n_val": args.n_val,
+        "batch": args.batch, "seed": args.seed,
+        "difficulty": args.difficulty, "scribble_ratio": args.scribble_ratio,
+        "val_gamma": args.val_gamma}
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({a: {k: v for k, v in r.items() if k != "curve"}

@@ -1,0 +1,111 @@
+"""Mechanical single-chip safety: relay-liveness preflight + exclusive lock.
+
+Round-3 post-mortem (NOTES.md "environment incident"): two concurrent chip
+clients wedged both trainers and killed the stdio<->TCP relay that fronts
+the TPU.  Nothing *mechanical* prevented it — queue scripts and bench.py
+relied on discipline.  This module is the mechanism:
+
+* ``relay_alive()`` — TCP-connect probe of the axon relay frontend
+  (127.0.0.1:8082 by default; the loopback relay `/root/.tpu_init.py`).
+  Checked BEFORE any jax device op so a dead tunnel surfaces as one clear
+  sentence instead of a multi-minute hang + axon traceback.
+* ``acquire_chip_lock()`` — ``flock(LOCK_EX | LOCK_NB)`` on a well-known
+  lock file.  A second would-be chip client provably refuses to start.
+
+Both are no-ops when the session is not targeting the axon/TPU backend
+(pytest runs pin the cpu platform; see tests/conftest.py).
+"""
+from __future__ import annotations
+
+import fcntl
+import os
+import socket
+from typing import Optional
+
+RELAY_HOST = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0] \
+    or "127.0.0.1"
+RELAY_PORT = 8082
+LOCK_PATH = "/tmp/tpu_chip.lock"
+
+
+def targeting_tpu() -> bool:
+    """True when this process would claim the axon TPU backend."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if "axon" not in plats:
+        return False
+    # Empty pool-IP list is the documented pytest escape hatch — axon
+    # registration is skipped entirely (verify skill).
+    if os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1") == "":
+        return False
+    return True
+
+
+def relay_alive(host: str = RELAY_HOST, port: int = RELAY_PORT,
+                timeout: float = 2.0) -> bool:
+    """TCP probe of the relay frontend; False when nothing is listening."""
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+class ChipLockError(RuntimeError):
+    pass
+
+
+_held_lock = None  # keep the fd alive for the process lifetime
+
+
+def acquire_chip_lock(path: str = LOCK_PATH, owner_note: str = "",
+                      wait_s: float = 0.0) -> Optional[object]:
+    """Take the exclusive single-chip lock or raise ChipLockError.
+
+    The lock is advisory (flock) and auto-released when the process exits,
+    so a crashed holder never wedges the queue.  ``wait_s`` > 0 polls for
+    that long before giving up (bench uses this so a queued job finishing
+    seconds earlier doesn't fail the round's measurement).  Returns the
+    open file object (also stashed module-globally) — callers need not
+    keep it.
+    """
+    import time
+
+    global _held_lock
+    f = open(path, "a+")
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError:
+            if time.time() < deadline:
+                time.sleep(5.0)
+                continue
+            f.seek(0)
+            holder = f.read().strip()
+            f.close()
+            raise ChipLockError(
+                f"chip lock {path} is held ({holder or 'unknown holder'}); "
+                "only ONE TPU client may run — wait for it or kill it by PID")
+    f.truncate(0)
+    f.write(f"pid={os.getpid()} {owner_note}\n")
+    f.flush()
+    _held_lock = f
+    return f
+
+
+def preflight_chip(owner_note: str = "", wait_s: float = 0.0) -> None:
+    """Fail fast (clear RuntimeError) when chip work cannot safely start.
+
+    No-op off-TPU.  On TPU: relay must be listening and the chip lock free
+    (optionally waiting ``wait_s`` for a finishing holder).
+    """
+    if not targeting_tpu():
+        return
+    if not relay_alive():
+        raise RuntimeError(
+            f"TPU relay is DOWN (nothing listening on "
+            f"{RELAY_HOST}:{RELAY_PORT}); the tunnel `/root/.tpu_init.py` "
+            "must be re-established by the harness — refusing to start "
+            "chip work (it would hang, then die in axon backend init)")
+    acquire_chip_lock(owner_note=owner_note, wait_s=wait_s)

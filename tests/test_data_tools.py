@@ -120,6 +120,39 @@ def test_synthetic_dataset_layout_and_loader(synth_root):
     assert tuple(sample["size"]) == (64, 60)
 
 
+def test_synthetic_split_is_patient_level(tmp_path):
+    # ADVICE r3: folds must stripe pseudo-PATIENTS (reference README.md:19),
+    # not slices — otherwise every patient leaks into both sides.
+    root = str(tmp_path)
+    synthetic.write_synthetic_dataset(
+        root, "acdc", num_slices=240, size=(32, 32), num_classes=2,
+        ignored_index=2, seed=3)
+    seen_test = set()
+    for fold in range(5):
+        train, test = read_fold_split(root, "acdc", fold=fold)
+        assert train and test
+        tr_p = {os.path.basename(p).split("_")[0] for p in train}
+        te_p = {os.path.basename(p).split("_")[0] for p in test}
+        assert not tr_p & te_p, f"fold {fold} leaks patients {tr_p & te_p}"
+        seen_test |= te_p
+    assert len(seen_test) == 10  # 240 slices / 24 per pseudo-patient
+
+
+def test_synthetic_marker_detects_partial_clean(tmp_path):
+    root = str(tmp_path)
+    rel = synthetic.write_synthetic_dataset(
+        root, "acdc", num_slices=10, size=(32, 32), num_classes=2,
+        ignored_index=2, seed=4)
+    victim = os.path.join(root, "acdc", rel[-1])
+    os.remove(victim)
+    # Stale marker + missing file → regeneration, not a broken cache hit.
+    rel2 = synthetic.write_synthetic_dataset(
+        root, "acdc", num_slices=10, size=(32, 32), num_classes=2,
+        ignored_index=2, seed=4)
+    assert rel2 == rel
+    assert os.path.exists(victim)
+
+
 def test_batch_loader_shapes_and_epochs(synth_root):
     train, _ = read_fold_split(synth_root, "chaos", fold=0, modality="t1")
     ds = SliceDataset(train, num_classes=3, ignored_index=3)

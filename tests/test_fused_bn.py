@@ -117,6 +117,58 @@ def test_group_statistics_match_reference_formula():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("groups", [1, 4])
+def test_reduce_impl_matches_matmul_impl(groups):
+    """The A/B baseline (batch_norm_train_reduce, bench.py's
+    PACING_BN_IMPL switch) is numerically the same op."""
+    from pacingpseudo_tpu.ops.fused_bn import batch_norm_train_reduce
+    c = 12
+    x = _rand(jax.random.PRNGKey(11), (3, 8, 8, groups * c), jnp.float32)
+    scale = jax.random.uniform(jax.random.PRNGKey(12), (c,), jnp.float32,
+                               0.5, 2.0)
+    bias = jax.random.normal(jax.random.PRNGKey(13), (c,))
+    y1, m1, v1 = batch_norm_train(x, scale, bias, 1e-5, groups)
+    y2, m2, v2 = batch_norm_train_reduce(x, scale, bias, 1e-5, groups)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               atol=1e-5, rtol=1e-4)
+
+    def mk_loss(fn):
+        def loss(x, scale, bias):
+            y, _, _ = fn(x, scale, bias, 1e-5, groups)
+            return jnp.sum(y * jnp.abs(y))
+        return loss
+
+    g1 = jax.grad(mk_loss(batch_norm_train), argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(mk_loss(batch_norm_train_reduce),
+                  argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_bn_impl_switch_changes_trace_not_numerics():
+    from pacingpseudo_tpu.models.norm import get_bn_impl, set_bn_impl
+    x = _rand(jax.random.PRNGKey(14), (2, 8, 8, 8), jnp.float32)
+    prev = get_bn_impl()
+    try:
+        outs = {}
+        for impl in ("matmul", "reduce"):
+            set_bn_impl(impl)
+            m = MatmulBatchNorm()
+            v = m.init(jax.random.PRNGKey(0), x, False)
+            y, st = m.apply(v, x, False, mutable=["batch_stats"])
+            outs[impl] = (np.asarray(y), np.asarray(st["batch_stats"]["mean"]))
+        np.testing.assert_allclose(outs["matmul"][0], outs["reduce"][0],
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(outs["matmul"][1], outs["reduce"][1],
+                                   atol=1e-5)
+    finally:
+        set_bn_impl(prev)
+
+
 def test_eval_mode_uses_running_stats():
     x = _rand(jax.random.PRNGKey(8), (2, 4, 4, 10), jnp.float32)
     scale = jnp.ones((10,)) * 1.5

@@ -335,6 +335,70 @@ def test_prepare_lvsc_end_to_end(tmp_path):
     assert s["scribble"].max() == 2                # artificial, unknown=2
 
 
+def test_prepare_lvsc_mask_alignment_when_name_order_differs(tmp_path):
+    # Regression: LVSC phase naming like ..._ph2 / ..._ph10 makes filename
+    # order disagree with InstanceNumber order; masks (paired by stem) must
+    # still land on the slice of THEIR OWN DICOM.
+    raw = tmp_path / "lvsc_raw"
+    from PIL import Image
+    pdir = raw / "CAP9"
+    pdir.mkdir(parents=True)
+    # Distinct image fill per phase; distinct mask row band per phase.
+    cases = [("s_ph1", 1, 100, (0, 6)), ("s_ph2", 2, 200, (9, 15)),
+             ("s_ph10", 10, 1000, (18, 24))]
+    for stem, inst, fill, (r0, r1) in cases:
+        px = np.full((24, 24), fill, np.uint16)
+        open(str(pdir / f"{stem}.dcm"), "wb").write(
+            make_dicom(px, spacing=(1.48, 1.48), instance=inst))
+        m = np.zeros((24, 24), np.uint8)
+        m[r0:r1, 4:20] = 255
+        Image.fromarray(m).save(str(pdir / f"{stem}.png"))
+    out = tmp_path / "data"
+    prepare_lvsc(str(raw), str(out), size=24)
+    # Volume order is instance order: ph1, ph2, ph10.
+    for z, (_, _, fill, (r0, r1)) in enumerate(cases):
+        s = load_npz_slice(str(out / "lvsc" / "slices" / f"CAP9_s{z:03d}.npz"))
+        assert s["image"].max() == pytest.approx(fill)
+        rows = np.where(s["label"].any(axis=1))[0]
+        assert rows.min() == r0 and rows.max() == r1 - 1, \
+            f"slice {z}: mask rows {rows.min()}..{rows.max()} != {r0}..{r1-1}"
+
+
+def test_prepare_chaos_ground_alignment_when_name_order_differs(tmp_path):
+    # Ground PNGs pair positionally with filename-sorted DICOMs; when the
+    # volume is stacked by InstanceNumber the labels must be permuted the
+    # same way.
+    raw = tmp_path / "MR"
+    from PIL import Image
+    droot = raw / "1" / "T1DUAL" / "DICOM_anon" / "InPhase"
+    ground = raw / "1" / "T1DUAL" / "Ground"
+    droot.mkdir(parents=True)
+    ground.mkdir(parents=True)
+    # Filename order a,b,c; instance order b(1), c(2), a(3).
+    dicoms = [("a.dcm", 3, 300), ("b.dcm", 1, 100), ("c.dcm", 2, 200)]
+    for name, inst, fill in dicoms:
+        px = np.full((32, 32), fill, np.uint16)
+        open(str(droot / name), "wb").write(
+            make_dicom(px, spacing=(1.62, 1.62), instance=inst))
+    # gN pairs with the N-th filename-sorted DICOM: g0↔a, g1↔b, g2↔c.
+    bands = [(0, 6), (10, 16), (20, 26)]
+    for i, (r0, r1) in enumerate(bands):
+        g = np.zeros((32, 32), np.uint8)
+        g[r0:r1, 4:28] = 63                        # liver code
+        Image.fromarray(g).save(str(ground / f"g{i}.png"))
+    out = tmp_path / "data"
+    prepare_chaos(str(raw), str(out), modality="t1", size=32)
+    # Instance order b,c,a → labels g1, g2, g0.
+    expect = [(100, bands[1]), (200, bands[2]), (300, bands[0])]
+    for z, (fill, (r0, r1)) in enumerate(expect):
+        s = load_npz_slice(str(out / "chaos" / "slices" /
+                               f"ct11_s{z:03d}.npz"))
+        assert s["image"].max() == pytest.approx(fill)
+        rows = np.where(s["label"] == 1)[0]
+        assert rows.min() == r0 and rows.max() == r1 - 1, \
+            f"slice {z}: label rows {rows.min()}..{rows.max()} != {r0}..{r1-1}"
+
+
 def test_prepare_data_cli(tmp_path):
     raw = tmp_path / "raw"
     _fake_acdc_tree(raw, n_patients=1, scribbles=False)
