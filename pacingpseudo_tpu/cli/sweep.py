@@ -58,8 +58,20 @@ def main(argv=None):
     if eval_ds == "chaos":
         eval_ds = "chaost1" if args.modality == "t1" else "chaost2"
 
+    out_dir = args.sweep_out or os.path.join(args.root, f"sweep-{args.tag}")
+    os.makedirs(out_dir, exist_ok=True)
+
     results = {}
     for fold in args.folds:
+        # Per-fold resumability: a finished fold leaves fold{N}.json and is
+        # skipped on re-invocation, so a crash (or relay outage) mid-sweep
+        # only costs the in-flight fold.
+        fold_json = os.path.join(out_dir, f"fold{fold}.json")
+        if os.path.exists(fold_json):
+            with open(fold_json) as f:
+                results[fold] = json.load(f)
+            print(f"fold {fold}: cached ({fold_json})")
+            continue
         args.fold = fold
         config = config_from_args(args).validate()
         run_dir = train_driver(config, args.data_root,
@@ -83,6 +95,8 @@ def main(argv=None):
                          "hd95_per_patient": res["hd95_per_patient"],
                          "num_patients": res["num_patients"],
                          "run_dir": run_dir}
+        with open(fold_json, "w") as f:
+            json.dump(results[fold], f, indent=2)
 
     dices = [results[f]["dice"] for f in args.folds]
     hd95s = [results[f]["hd95"] for f in args.folds]
@@ -100,8 +114,6 @@ def main(argv=None):
             [results[f]["hd95_per_patient"] for f in args.folds])),
     }
 
-    out_dir = args.sweep_out or os.path.join(args.root, f"sweep-{args.tag}")
-    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "sweep_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
 

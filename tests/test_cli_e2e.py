@@ -178,6 +178,20 @@ def test_sweep_cli(tmp_path):
     assert "0" in data["folds"] and 0.0 <= data["overall_dice"] <= 1.0
     table = open(out_root + "/sweep-sw/sweep_table.md").read()
     assert "DSC" in table and "HD95" in table
+    # Per-fold resumability: re-invocation consumes the fold0.json cache
+    # instead of retraining (seconds, not minutes).
+    assert glob.glob(out_root + "/sweep-sw/fold0.json")
+    r2 = _run([
+        "-m", "pacingpseudo_tpu.cli.sweep", "--tag", "sw", "--session",
+        "Control", "--folds", "0", "--synthetic_data", "15", "--epoch", "1",
+        "--batch_size", "4", "--init_ch", "8", "--input_size", "32", "32",
+        "--compute_dtype", "float32", "--data_root", data_root,
+        "--root", out_root,
+    ], timeout=300)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "cached" in r2.stdout
+    data2 = json.load(open(summary[0]))
+    assert data2["overall_dice"] == data["overall_dice"]
 
 
 def test_acdc_train_and_eval(tmp_path):
