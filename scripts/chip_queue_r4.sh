@@ -58,9 +58,13 @@ if [ ! -f lvsc_rehearsal/DONE ]; then
 fi
 
 # ---- 4. five-fold sweep at protocol shape (VERDICT r4 item 6) --------------
-# 1,916 hard-phantom slices (the study task), 5 folds x {Control,
-# Experiment}, epochs=120 (best-val lands <=82 in every study arm so far;
-# 400 would cost ~12 h chip).  Runs through the REAL sweep runner.
+# 1,916 JAGGED-phantom slices, 5 folds x {Control, Experiment}, epochs=120
+# (best-val lands <=82 in every study arm so far; 400 would cost ~12 h
+# chip).  Jagged because the torch-oracle hunt (study_r4/hunt) found it is
+# the phantom family where the reference's own code shows pacing WINNING
+# (+0.035 DSC at 64^2) — so this run exercises the published-table
+# machinery AND tests the pacing-wins regime at protocol scale through
+# the real drivers.
 SW=/root/repo/study_r4/sweep
 mkdir -p "$SW/runs"
 sweep_arm () {
@@ -69,7 +73,7 @@ sweep_arm () {
   log "five-fold sweep: $session"
   timeout 28800 python -m pacingpseudo_tpu.cli.sweep \
       --dataset chaos --modality t1 --session "$session" --tag "r4_$session" \
-      --epoch 120 --synthetic_data 1916 --synthetic_difficulty hard \
+      --epoch 120 --synthetic_data 1916 --synthetic_difficulty jagged \
       --data_root "$SW/data" --root "$SW/runs" \
       --sweep_out "$SW/$session" "$@" \
       > "$SW/${session}.log" 2>&1 && touch "$SW/DONE_$session" \
