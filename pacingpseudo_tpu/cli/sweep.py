@@ -51,7 +51,8 @@ def main(argv=None):
             modality=args.modality, seed=args.seed,
             size_jitter=args.synthetic_size_jitter,
             difficulty=args.synthetic_difficulty,
-            scribble_style=args.synthetic_scribble_style)
+            scribble_style=args.synthetic_scribble_style,
+            scribble_ratio=args.synthetic_scribble_ratio)
         args.synthetic_data = 0
 
     eval_ds = args.dataset

@@ -181,6 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'dilated' approximates human stroke-width "
                         "scribbles; 'skeleton' is the reference's 1-px "
                         "LVSC protocol)")
+    p.add_argument("--synthetic_scribble_ratio", type=float, default=1.0,
+                   help="shorten every synthetic scribble stroke to this "
+                        "fraction of its length (the reference's own "
+                        "shortening-ablation knob, utils_shorten_scribble_"
+                        "length.py; sparser supervision)")
     p.add_argument("--synthetic_size_jitter", type=int, default=0,
                    help="vary synthetic slice extents by +-N px (exercises "
                         "the heterogeneous-extent padding path; LVSC slices "
@@ -293,7 +298,8 @@ def main(argv=None):
             modality=config.modality, seed=config.seed,
             size_jitter=args.synthetic_size_jitter,
             difficulty=args.synthetic_difficulty,
-            scribble_style=args.synthetic_scribble_style)
+            scribble_style=args.synthetic_scribble_style,
+            scribble_ratio=args.synthetic_scribble_ratio)
 
     from pacingpseudo_tpu.train.loop import make_run_dir, train_driver
 

@@ -18,6 +18,24 @@ import numpy as np
 from pacingpseudo_tpu.tools.scribbles import generate_scribble
 
 
+def shorten_scribbles(scb: np.ndarray, num_classes: int, ignored_index: int,
+                      ratio: float) -> np.ndarray:
+    """Per-class scribble shortening (the reference's own ablation knob,
+    utils_shorten_scribble_length.py): keep ``ratio`` of each stroke's
+    pixels, eroding from the endpoints; removed pixels become unknown."""
+    from pacingpseudo_tpu.tools.scribbles import delete_endpoints
+
+    out = scb.copy()
+    for c in range(num_classes):
+        m = (scb == c).astype(np.float64)
+        length = int(m.sum())
+        if length == 0:
+            continue
+        short, _ = delete_endpoints(m, np.zeros_like(m), length, ratio)
+        out[(m > 0) & (short == 0)] = ignored_index
+    return out
+
+
 def _smooth_field(rng, h, w, scale, amp):
     """Band-limited random field in [-amp, amp] (coarse noise, cubic zoom)."""
     import scipy.ndimage as ndi
@@ -133,7 +151,8 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
                             modality: str = "t1", seed: int = 0,
                             size_jitter: int = 0,
                             difficulty: str = "easy",
-                            scribble_style: str = "skeleton") -> List[str]:
+                            scribble_style: str = "skeleton",
+                            scribble_ratio: float = 1.0) -> List[str]:
     """Write a reference-layout synthetic dataset under ``root``.
 
     Produces ``<root>/<ds>/slices/*.npz`` plus the five-fold split txts in
@@ -158,6 +177,8 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
     stamp = (f"{dataset} {num_slices} {size} {num_classes} {ignored_index} "
              f"{folds} {modality} {seed} {size_jitter} {difficulty} "
              f"{scribble_style}")
+    if scribble_ratio != 1.0:  # ratio joined the stamp in round 4; keep old
+        stamp += f" r{scribble_ratio}"  # pools' markers valid unchanged
     # 24 slices per pseudo-patient at study scale; for tiny smoke pools use
     # smaller groups so every fold still has patients on BOTH sides of the
     # patient-level split below.
@@ -195,6 +216,9 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
             img, lab = make_phantom(rng, sz, num_classes, difficulty)
             scb = generate_scribble(lab, num_classes, ignored_index,
                                     style=scribble_style)
+            if scribble_ratio < 1.0:
+                scb = shorten_scribbles(scb, num_classes, ignored_index,
+                                        scribble_ratio)
             # patient-grouped uids so the per-patient aggregation protocol
             # (evals/infer.py) is exercised
             uid = f"pat{i // group:03d}_slice{i % group:03d}"

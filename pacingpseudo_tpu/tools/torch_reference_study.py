@@ -44,20 +44,8 @@ LR, WD = 1e-4, 3e-4
 
 
 def _shorten_scribbles(scb: np.ndarray, ratio: float) -> np.ndarray:
-    """Per-class scribble shortening (the reference's own ablation knob,
-    utils_shorten_scribble_length.py): keep ``ratio`` of each stroke's
-    pixels, eroding from the endpoints; removed pixels become unknown."""
-    from pacingpseudo_tpu.tools.scribbles import delete_endpoints
-
-    out = scb.copy()
-    for c in range(C):
-        m = (scb == c).astype(np.float64)
-        length = int(m.sum())
-        if length == 0:
-            continue
-        short, _ = delete_endpoints(m, np.zeros_like(m), length, ratio)
-        out[(m > 0) & (short == 0)] = IGN
-    return out
+    from pacingpseudo_tpu.data.synthetic import shorten_scribbles
+    return shorten_scribbles(scb, C, IGN, ratio)
 
 
 def build_stream(n_train, n_val, batch, epochs, seed, difficulty="hard",

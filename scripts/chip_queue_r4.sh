@@ -58,13 +58,14 @@ if [ ! -f lvsc_rehearsal/DONE ]; then
 fi
 
 # ---- 4. five-fold sweep at protocol shape (VERDICT r4 item 6) --------------
-# 1,916 JAGGED-phantom slices, 5 folds x {Control, Experiment}, epochs=120
+# 1,916 phantom slices, 5 folds x {Control, Experiment}, epochs=120
 # (best-val lands <=82 in every study arm so far; 400 would cost ~12 h
-# chip).  Jagged because the torch-oracle hunt (study_r4/hunt) found it is
-# the phantom family where the reference's own code shows pacing WINNING
-# (+0.035 DSC at 64^2) — so this run exercises the published-table
-# machinery AND tests the pacing-wins regime at protocol scale through
-# the real drivers.
+# chip).  The regime is the torch-oracle hunt winner (study_r4/hunt):
+# HARD phantoms with scribbles shortened to 15% — the config where the
+# reference's own code shows pacing WINNING (+0.042 DSC at 64^2,
+# phase-2 multi-seed validation in flight) — so this run exercises the
+# published-table machinery AND tests the pacing-wins regime at protocol
+# scale through the real drivers.
 SW=/root/repo/study_r4/sweep
 mkdir -p "$SW/runs"
 sweep_arm () {
@@ -73,7 +74,8 @@ sweep_arm () {
   log "five-fold sweep: $session"
   timeout 28800 python -m pacingpseudo_tpu.cli.sweep \
       --dataset chaos --modality t1 --session "$session" --tag "r4_$session" \
-      --epoch 120 --synthetic_data 1916 --synthetic_difficulty jagged \
+      --epoch 120 --synthetic_data 1916 --synthetic_difficulty hard \
+      --synthetic_scribble_ratio 0.15 \
       --data_root "$SW/data" --root "$SW/runs" \
       --sweep_out "$SW/$session" "$@" \
       > "$SW/${session}.log" 2>&1 && touch "$SW/DONE_$session" \

@@ -153,6 +153,34 @@ def test_synthetic_marker_detects_partial_clean(tmp_path):
     assert os.path.exists(victim)
 
 
+def test_synthetic_scribble_ratio_sparsifies_pool(tmp_path):
+    # Round-4 hunt knob: --synthetic_scribble_ratio shortens every stroke
+    # at pool-build time (reference's utils_shorten_scribble_length.py
+    # ablation axis), and the idempotency stamp distinguishes ratios.
+    def scrib_px(root):
+        tot = 0
+        sdir = os.path.join(root, "acdc", "slices")
+        for f in sorted(os.listdir(sdir)):
+            if f.endswith(".npz"):
+                scb = np.load(os.path.join(sdir, f))["scb"]
+                tot += int((scb < 2).sum())  # labelled (non-ignored) px
+        return tot
+
+    full_root, short_root = str(tmp_path / "full"), str(tmp_path / "short")
+    kw = dict(num_slices=6, size=(48, 48), num_classes=2, ignored_index=2,
+              seed=7)
+    synthetic.write_synthetic_dataset(full_root, "acdc", **kw)
+    synthetic.write_synthetic_dataset(short_root, "acdc", scribble_ratio=0.15,
+                                      **kw)
+    full_px, short_px = scrib_px(full_root), scrib_px(short_root)
+    assert 0 < short_px < 0.45 * full_px
+    # re-running with a different ratio regenerates (stamp mismatch)
+    synthetic.write_synthetic_dataset(short_root, "acdc", scribble_ratio=0.5,
+                                      **kw)
+    mid_px = scrib_px(short_root)
+    assert short_px < mid_px < full_px
+
+
 def test_batch_loader_shapes_and_epochs(synth_root):
     train, _ = read_fold_split(synth_root, "chaos", fold=0, modality="t1")
     ds = SliceDataset(train, num_classes=3, ignored_index=3)
