@@ -242,6 +242,48 @@ def main():
     finally:
         set_bn_impl(default_bn)
 
+    # ---- Fused-ConvLayer A/B (VERDICT r4 item 5): the identical train
+    # step with the Pallas fused conv3x3 + inline BN statistics + LReLU
+    # path (ops/pallas/fused_convbn.py) vs the XLA ConvLayer composition.
+    # Records the delta so the production default is set from data.
+    from pacingpseudo_tpu.ops.pallas.fused_convbn import (
+        get_conv_impl, set_conv_impl)
+    default_conv = get_conv_impl()
+    step_ms_by_conv_impl = {default_conv: round(step_ms, 2)}
+    other_conv = "fused" if default_conv == "xla" else "xla"
+    try:
+        set_conv_impl(other_conv)
+        st_o = create_train_state(jax.random.PRNGKey(0), model, tx, tmpl,
+                                  with_memory=True, num_classes=C)
+        step_o = make_pacing_train_step(config, model, tx, steps_per_epoch,
+                                        augment_fn=augment_fn, donate=False)
+
+        @functools.partial(jax.jit, static_argnames=("k_steps",))
+        def run_o(state, raw, key, k_steps):
+            def body(carry, i):
+                st, _ = carry
+                st, metrics = step_o(st, raw, jax.random.fold_in(key, i))
+                return (st, metrics["loss_total"]), None
+            (st, last), _ = jax.lax.scan(body, (state, jnp.zeros(())),
+                                         jnp.arange(k_steps))
+            return st, last
+
+        k_cv = min(MEASURE_STEPS, 16)
+        st_o, last_o = run_o(st_o, raws[0], key, k_steps=k_cv)
+        float(last_o)
+        t0 = time.time()
+        st_o, last_o = run_o(st_o, raws[1], key, k_steps=k_cv)
+        float(last_o)
+        step_ms_by_conv_impl[other_conv] = round(
+            max(time.time() - t0 - floor, 1e-9) / k_cv * 1e3, 2)
+        del st_o, last_o, run_o, step_o
+    except Exception as e:
+        step_ms_by_conv_impl[other_conv] = None
+        print(f"conv impl {other_conv} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    finally:
+        set_conv_impl(default_conv)
+
     # ---- Batch-scaling table (larger batches amortise the small-channel
     # stages' bandwidth floor; the headline stays at the reference's batch
     # 12, train_chaos.py:93).  Same scanned-chain methodology, fewer steps.
@@ -304,6 +346,7 @@ def main():
                          "model_fwd_bwd_opt": round(step_ms - aug_ms, 2)},
         "aug_ms_by_warp_impl": aug_by_impl,
         "step_ms_by_bn_impl": step_ms_by_bn_impl,
+        "step_ms_by_conv_impl": step_ms_by_conv_impl,
         "batch_scaling_slices_per_sec": scaling,
     }))
     return slices_per_sec

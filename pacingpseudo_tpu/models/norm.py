@@ -41,6 +41,46 @@ def get_bn_impl() -> str:
     return _BN_IMPL
 
 
+class BNParamsOnly(nn.Module):
+    """BatchNorm parameter/stat declarations WITHOUT a compute path.
+
+    Declared under the same name ("norm") with identical param names,
+    shapes and init draws as MatmulBatchNorm, so the fused Pallas
+    ConvLayer (ops/pallas/fused_convbn.py) — which computes the statistics
+    inside the conv kernel — shares checkpoints, the torch importer/
+    exporter and the parity tests with the unfused path.  flax derives
+    param init RNG from the scope path + name, so the draws are identical
+    too.  ``__call__(m, v)`` applies the EMA update; ``affine()`` returns
+    (scale, bias).
+    """
+
+    features: int  # logical channels
+    momentum: float = 0.9
+
+    def setup(self):
+        f = self.features
+        self.scale = self.param("scale", nn.initializers.ones, (f,),
+                                jnp.float32)
+        self.offset = self.param("bias", nn.initializers.zeros, (f,),
+                                 jnp.float32)
+        self.ra_mean = self.variable("batch_stats", "mean",
+                                     lambda: jnp.zeros((f,), jnp.float32))
+        self.ra_var = self.variable("batch_stats", "var",
+                                    lambda: jnp.ones((f,), jnp.float32))
+
+    def affine(self):
+        return self.scale, self.offset
+
+    def __call__(self, m, v):
+        if not self.is_initializing():
+            m = jax.lax.stop_gradient(m)
+            v = jax.lax.stop_gradient(v)
+            self.ra_mean.value = (self.momentum * self.ra_mean.value
+                                  + (1 - self.momentum) * m)
+            self.ra_var.value = (self.momentum * self.ra_var.value
+                                 + (1 - self.momentum) * v)
+
+
 class MatmulBatchNorm(nn.Module):
     """BatchNorm with matmul-shaped statistics.
 

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import random
 
-from pacingpseudo_tpu.models.norm import MatmulBatchNorm
+from pacingpseudo_tpu.models.norm import BNParamsOnly, MatmulBatchNorm
+from pacingpseudo_tpu.ops.pallas.fused_convbn import (
+    conv_bn_lrelu_train, fusable, get_conv_impl)
 from pacingpseudo_tpu.ops.resize import upsample2x_align_corners
 from pacingpseudo_tpu.ops.s2d import (
     depth_to_space,
@@ -69,8 +71,37 @@ def make_torch_bias_init(fan_in: int):
     return init
 
 
+class ConvParamsOnly(nn.Module):
+    """Conv parameter declarations without a compute path — identical
+    names/shapes/inits to ``nn.Conv`` under the same scope name ("conv"),
+    so the fused Pallas ConvLayer path shares checkpoints and init draws
+    with the unfused path (flax keys param init RNG by scope path)."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    def setup(self):
+        ks = self.kernel_size
+        self.kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (ks, ks, self.in_features, self.features))
+        self.bias = self.param(
+            "bias", make_torch_bias_init(ks * ks * self.in_features),
+            (self.features,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class ConvLayer(nn.Module):
-    """Conv2d -> BatchNorm -> LeakyReLU(1e-2) (reference: models/unet.py:178-193)."""
+    """Conv2d -> BatchNorm -> LeakyReLU(1e-2) (reference: models/unet.py:178-193).
+
+    ``padded_in``/``padded_out`` select the padded-canvas I/O convention of
+    the fused Pallas path (ops/pallas/fused_convbn.py) so chained layers
+    (DoubleConv) hand the halo straight through; the unfused path honours
+    the flags with a fused slice/pad.
+    """
 
     features: int
     kernel_size: int = 3
@@ -80,7 +111,25 @@ class ConvLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, padded_in: bool = False,
+                 padded_out: bool = False):
+        edge = 2 if padded_in else 0
+        if (train and get_conv_impl() == "fused"
+                and fusable(x.shape[1] - edge, x.shape[2] - edge,
+                            self.kernel_size, self.stride, self.dilation)):
+            kernel, cbias = ConvParamsOnly(
+                self.features, x.shape[-1], self.kernel_size, name="conv")()
+            bn = BNParamsOnly(self.features, name="norm")
+            scale, beta = bn.affine()
+            xp = x if padded_in else jnp.pad(
+                x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            zp, m, v = conv_bn_lrelu_train(
+                xp, kernel, cbias, scale, beta, 1e-5, 1,
+                self.negative_slope)
+            bn(m, v)
+            return zp if padded_out else zp[:, 1:-1, 1:-1, :]
+        if padded_in:
+            x = x[:, 1:-1, 1:-1, :]
         pad = self.dilation if self.kernel_size == 3 else 0
         fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
         x = nn.Conv(
@@ -104,7 +153,11 @@ class ConvLayer(nn.Module):
         # backward) reductions as MXU matmuls — the round-2 profiled
         # convert_reduce stall fix (ops/fused_bn.py).
         x = MatmulBatchNorm(name="norm")(x, use_running_average=not train)
-        return nn.leaky_relu(x.astype(self.dtype), negative_slope=self.negative_slope)
+        x = nn.leaky_relu(x.astype(self.dtype),
+                          negative_slope=self.negative_slope)
+        if padded_out:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return x
 
 
 class DoubleConv(nn.Module):
@@ -117,10 +170,18 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # Chain the padded canvas between the two layers when both take
+        # the fused Pallas path (stride-1 keeps the extents, so one gate
+        # covers both) — the halo is produced once and handed through.
+        chain = (train and get_conv_impl() == "fused"
+                 and self.stride1 == 1
+                 and fusable(x.shape[1], x.shape[2], 3, 1, self.dilation))
         x = ConvLayer(self.features, 3, self.stride1, self.dilation,
-                      dtype=self.dtype, name="conv_layer1")(x, train)
+                      dtype=self.dtype, name="conv_layer1")(
+            x, train, padded_out=chain)
         x = ConvLayer(self.features, 3, 1, self.dilation,
-                      dtype=self.dtype, name="conv_layer2")(x, train)
+                      dtype=self.dtype, name="conv_layer2")(
+            x, train, padded_in=chain)
         return x
 
 
@@ -235,12 +296,33 @@ class S2DConvLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x2, train: bool):
+    def __call__(self, x2, train: bool, padded_in: bool = False,
+                 padded_out: bool = False):
+        edge = 2 if padded_in else 0
+        if (train and get_conv_impl() == "fused"
+                and fusable(x2.shape[1] - edge, x2.shape[2] - edge, 3, 1, 1)):
+            cin = x2.shape[-1] // 4
+            kernel, cbias = ConvParamsOnly(self.features, cin, 3,
+                                           name="conv")()
+            bn = BNParamsOnly(self.features, name="norm")
+            scale, beta = bn.affine()
+            xp = x2 if padded_in else jnp.pad(
+                x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            zp, m, v = conv_bn_lrelu_train(
+                xp, expand_kernel3x3(kernel), jnp.tile(cbias, 4),
+                scale, beta, 1e-5, 4, self.negative_slope)
+            bn(m, v)
+            return zp if padded_out else zp[:, 1:-1, 1:-1, :]
+        if padded_in:
+            x2 = x2[:, 1:-1, 1:-1, :]
         x2 = _S2DConv(self.features, 3, dtype=self.dtype, name="conv")(x2)
         x2 = MatmulBatchNorm(groups=4, name="norm")(
             x2, use_running_average=not train)
-        return nn.leaky_relu(x2.astype(self.dtype),
-                             negative_slope=self.negative_slope)
+        x2 = nn.leaky_relu(x2.astype(self.dtype),
+                           negative_slope=self.negative_slope)
+        if padded_out:
+            x2 = jnp.pad(x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return x2
 
 
 class S2DDoubleConv(nn.Module):
@@ -249,10 +331,12 @@ class S2DDoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x2, train: bool):
+        chain = (train and get_conv_impl() == "fused"
+                 and fusable(x2.shape[1], x2.shape[2], 3, 1, 1))
         x2 = S2DConvLayer(self.features, dtype=self.dtype,
-                          name="conv_layer1")(x2, train)
+                          name="conv_layer1")(x2, train, padded_out=chain)
         x2 = S2DConvLayer(self.features, dtype=self.dtype,
-                          name="conv_layer2")(x2, train)
+                          name="conv_layer2")(x2, train, padded_in=chain)
         return x2
 
 
