@@ -200,17 +200,13 @@ def main():
                   file=sys.stderr)
     step_ms = dt * 1e3
 
-    # ---- MXU-BN A/B (VERDICT r3 item 1): time the identical train step
-    # with BatchNorm statistics as plain reduces (what flax nn.BatchNorm
-    # lowers to) vs the round-3 matmul-moments rework (ops/fused_bn.py).
-    # The headline number above used the default impl; this records the
-    # delta so the default is set from data.
-    from pacingpseudo_tpu.models.norm import get_bn_impl, set_bn_impl
-    default_bn = get_bn_impl()
-    step_ms_by_bn_impl = {default_bn: round(step_ms, 2)}
-    other_bn = "reduce" if default_bn == "matmul" else "matmul"
-    try:
-        set_bn_impl(other_bn)
+    # ---- Implementation A/Bs: re-time the identical train step under an
+    # alternative trace-time op implementation.  The headline number above
+    # used the defaults; recording the deltas lets the production defaults
+    # be set from data (VERDICT r3 item 1 / r4 item 5).
+    def time_alt_step():
+        """Build a fresh state + step under the CURRENT impl switches and
+        time a scanned chain (same methodology as the headline)."""
         st_o = create_train_state(jax.random.PRNGKey(0), model, tx, tmpl,
                                   with_memory=True, num_classes=C)
         step_o = make_pacing_train_step(config, model, tx, steps_per_epoch,
@@ -226,63 +222,41 @@ def main():
                                          jnp.arange(k_steps))
             return st, last
 
-        k_bn = min(MEASURE_STEPS, 16)
-        st_o, last_o = run_o(st_o, raws[0], key, k_steps=k_bn)
+        k = min(MEASURE_STEPS, 16)
+        st_o, last_o = run_o(st_o, raws[0], key, k_steps=k)
         float(last_o)
         t0 = time.time()
-        st_o, last_o = run_o(st_o, raws[1], key, k_steps=k_bn)
+        st_o, last_o = run_o(st_o, raws[1], key, k_steps=k)
         float(last_o)
-        step_ms_by_bn_impl[other_bn] = round(
-            max(time.time() - t0 - floor, 1e-9) / k_bn * 1e3, 2)
-        del st_o, last_o, run_o, step_o
-    except Exception as e:
-        step_ms_by_bn_impl[other_bn] = None
-        print(f"bn impl {other_bn} failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    finally:
-        set_bn_impl(default_bn)
+        return round(max(time.time() - t0 - floor, 1e-9) / k * 1e3, 2)
 
-    # ---- Fused-ConvLayer A/B (VERDICT r4 item 5): the identical train
-    # step with the Pallas fused conv3x3 + inline BN statistics + LReLU
-    # path (ops/pallas/fused_convbn.py) vs the XLA ConvLayer composition.
-    # Records the delta so the production default is set from data.
+    def ab_step(tag, get_impl, set_impl, alternatives):
+        default = get_impl()
+        table = {default: round(step_ms, 2)}
+        for other in alternatives:
+            if other == default:
+                continue
+            try:
+                set_impl(other)
+                table[other] = time_alt_step()
+            except Exception as e:
+                table[other] = None
+                print(f"{tag} impl {other} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+            finally:
+                set_impl(default)
+        return table
+
+    # MXU-BN (ops/fused_bn.py matmul moments vs flax-style reduces) and the
+    # fused Pallas ConvLayer (ops/pallas/fused_convbn.py conv3x3 + inline
+    # BN statistics + LReLU vs the XLA composition).
+    from pacingpseudo_tpu.models.norm import get_bn_impl, set_bn_impl
     from pacingpseudo_tpu.ops.pallas.fused_convbn import (
         get_conv_impl, set_conv_impl)
-    default_conv = get_conv_impl()
-    step_ms_by_conv_impl = {default_conv: round(step_ms, 2)}
-    other_conv = "fused" if default_conv == "xla" else "xla"
-    try:
-        set_conv_impl(other_conv)
-        st_o = create_train_state(jax.random.PRNGKey(0), model, tx, tmpl,
-                                  with_memory=True, num_classes=C)
-        step_o = make_pacing_train_step(config, model, tx, steps_per_epoch,
-                                        augment_fn=augment_fn, donate=False)
-
-        @functools.partial(jax.jit, static_argnames=("k_steps",))
-        def run_o(state, raw, key, k_steps):
-            def body(carry, i):
-                st, _ = carry
-                st, metrics = step_o(st, raw, jax.random.fold_in(key, i))
-                return (st, metrics["loss_total"]), None
-            (st, last), _ = jax.lax.scan(body, (state, jnp.zeros(())),
-                                         jnp.arange(k_steps))
-            return st, last
-
-        k_cv = min(MEASURE_STEPS, 16)
-        st_o, last_o = run_o(st_o, raws[0], key, k_steps=k_cv)
-        float(last_o)
-        t0 = time.time()
-        st_o, last_o = run_o(st_o, raws[1], key, k_steps=k_cv)
-        float(last_o)
-        step_ms_by_conv_impl[other_conv] = round(
-            max(time.time() - t0 - floor, 1e-9) / k_cv * 1e3, 2)
-        del st_o, last_o, run_o, step_o
-    except Exception as e:
-        step_ms_by_conv_impl[other_conv] = None
-        print(f"conv impl {other_conv} failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    finally:
-        set_conv_impl(default_conv)
+    step_ms_by_bn_impl = ab_step("bn", get_bn_impl, set_bn_impl,
+                                 ("matmul", "reduce"))
+    step_ms_by_conv_impl = ab_step("conv", get_conv_impl, set_conv_impl,
+                                   ("xla", "fused"))
 
     # ---- Batch-scaling table (larger batches amortise the small-channel
     # stages' bandwidth floor; the headline stays at the reference's batch

@@ -60,12 +60,13 @@ fi
 # ---- 4. five-fold sweep at protocol shape (VERDICT r4 item 6) --------------
 # 1,916 phantom slices, 5 folds x {Control, Experiment}, epochs=120
 # (best-val lands <=82 in every study arm so far; 400 would cost ~12 h
-# chip).  The regime is the torch-oracle hunt winner (study_r4/hunt):
-# HARD phantoms with scribbles shortened to 15% — the config where the
-# reference's own code shows pacing WINNING (+0.042 DSC at 64^2,
-# phase-2 multi-seed validation in flight) — so this run exercises the
-# published-table machinery AND tests the pacing-wins regime at protocol
-# scale through the real drivers.
+# chip).  The regime is the validated phase-3 hunt winner (study_r4/hunt):
+# JAGGED phantoms (star-deformed non-convex boundaries) with full
+# scribbles — the config where the reference's own code shows pacing
+# WINNING (torch gaps +0.035/+0.045/+0.159 over seeds 1-3, mean +0.080;
+# the hard+15%-scribble prescreen winner was falsified at 3 seeds) — so
+# this run exercises the published-table machinery AND tests the
+# pacing-wins regime at protocol scale through the real drivers.
 SW=/root/repo/study_r4/sweep
 mkdir -p "$SW/runs"
 sweep_arm () {
@@ -74,8 +75,7 @@ sweep_arm () {
   log "five-fold sweep: $session"
   timeout 28800 python -m pacingpseudo_tpu.cli.sweep \
       --dataset chaos --modality t1 --session "$session" --tag "r4_$session" \
-      --epoch 120 --synthetic_data 1916 --synthetic_difficulty hard \
-      --synthetic_scribble_ratio 0.15 \
+      --epoch 120 --synthetic_data 1916 --synthetic_difficulty jagged \
       --data_root "$SW/data" --root "$SW/runs" \
       --sweep_out "$SW/$session" "$@" \
       > "$SW/${session}.log" 2>&1 && touch "$SW/DONE_$session" \
