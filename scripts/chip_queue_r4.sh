@@ -31,6 +31,19 @@ python -c "from pacingpseudo_tpu.utils.chiplock import relay_alive
 import sys; sys.exit(0 if relay_alive() else 1)" \
     || { log "relay DOWN — refusing to start"; exit 1; }
 
+# ---- 0. on-chip Pallas/MXU parity gate --------------------------------------
+# Interpret-mode tests pin the kernel math; this re-runs the oracles on the
+# real chip so a wrong-on-hardware Mosaic compile is caught before the bench
+# A/Bs could flip a production default onto it.  Failure is recorded, not
+# queue-fatal (bench's A/Bs carry their own try/except).
+if [ ! -f "$Q/DONE_parity" ]; then
+  log "chip_parity.py (Pallas/MXU kernels vs oracles, on chip)"
+  timeout 1800 python scripts/chip_parity.py > "$Q/chip_parity.json" \
+      2> "$Q/chip_parity.err" && touch "$Q/DONE_parity" \
+      || { log "CHIP PARITY FAILED"; tail -3 "$Q/chip_parity.err"; }
+  tail -1 "$Q/chip_parity.json" 2>/dev/null
+fi
+
 # ---- 1. bench: the round-3 evidence capture --------------------------------
 if [ ! -f "$Q/DONE_bench1" ]; then
   log "bench.py (r4 initial capture: BN A/B + warp A/B + batch scaling)"
