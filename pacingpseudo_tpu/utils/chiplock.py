@@ -28,6 +28,24 @@ RELAY_PORT = 8082
 LOCK_PATH = "/tmp/tpu_chip.lock"
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` actually stick.
+
+    The sandbox's sitecustomize programmatically pins ``jax_platforms``
+    to ``'axon,cpu'`` AFTER env parsing, so exporting JAX_PLATFORMS=cpu
+    alone does NOT keep a worker off the chip — the process then wedges
+    in axon backend init whenever the relay tunnel is down (round-4
+    cpu-sweep incident).  Called from :func:`preflight_chip` (i.e. by
+    every CLI driver and bench) before any jax device op: when the env
+    var names no TPU-ish platform, re-pin the config to the env value.
+    """
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "axon" not in plats and "tpu" not in plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+
+
 def targeting_tpu() -> bool:
     """True when this process would claim the axon TPU backend."""
     plats = os.environ.get("JAX_PLATFORMS", "")
@@ -100,6 +118,7 @@ def preflight_chip(owner_note: str = "", wait_s: float = 0.0) -> None:
     No-op off-TPU.  On TPU: relay must be listening and the chip lock free
     (optionally waiting ``wait_s`` for a finishing holder).
     """
+    honor_platform_env()
     if not targeting_tpu():
         return
     if not relay_alive():

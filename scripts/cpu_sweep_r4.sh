@@ -23,7 +23,11 @@ sweep_arm () {
   local session=$1; shift
   if [ -f "$SW/DONE_$session" ]; then log "skip sweep $session"; return 0; fi
   log "five-fold CPU sweep: $session"
-  JAX_PLATFORMS=cpu nice -n 15 timeout 36000 \
+  # PALLAS_AXON_POOL_IPS= skips axon plugin registration entirely and
+  # chiplock.honor_platform_env makes JAX_PLATFORMS=cpu stick despite the
+  # sitecustomize 'axon,cpu' pin (either alone suffices; both = belt and
+  # suspenders after the round-4 axon-init wedge).
+  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= nice -n 15 timeout 36000 \
     python -m pacingpseudo_tpu.cli.sweep \
       --dataset chaos --modality t1 --session "$session" \
       --tag "r4cpu_$session" --epoch 80 --batch_size 8 \

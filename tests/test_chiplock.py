@@ -88,3 +88,27 @@ def test_preflight_raises_clearly_when_relay_down(monkeypatch):
     monkeypatch.setattr(chiplock, "relay_alive", lambda *a, **k: False)
     with pytest.raises(RuntimeError, match="relay is DOWN"):
         chiplock.preflight_chip("test")
+
+
+def test_honor_platform_env_pins_cpu(monkeypatch):
+    """JAX_PLATFORMS=cpu must override the sandbox's programmatic
+    'axon,cpu' pin (round-4 cpu-sweep wedge: a worker meant for the CPU
+    backend hung in axon init while the relay was down)."""
+    import jax
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    jax.config.update("jax_platforms", "axon,cpu")  # what sitecustomize does
+    try:
+        chiplock.honor_platform_env()
+        assert jax.config.jax_platforms == "cpu"
+    finally:
+        jax.config.update("jax_platforms", "cpu")  # conftest regime
+
+
+def test_honor_platform_env_keeps_tpu_sessions(monkeypatch):
+    import jax
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    before = jax.config.jax_platforms
+    chiplock.honor_platform_env()
+    assert jax.config.jax_platforms == before
