@@ -46,9 +46,25 @@ def _emit_cached_bench(reason: str) -> bool:
     round-end bench call then still carries real measured numbers when the
     chip is busy finishing a queued (resumable, hours-long) training job.
     Returns True iff a cached measurement was emitted."""
-    path = os.environ.get("BENCH_CACHE_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "study_r4", "chipq", "bench_r4_initial.json")
+    path = os.environ.get("BENCH_CACHE_PATH")
+    if not path:
+        # Round-agnostic: any chip queue writes study_r*/chipq/
+        # bench_r*_initial.json; take the freshest.  Age-gated to 24 h so
+        # a measurement from an earlier round can never masquerade as a
+        # same-round capture (ADVICE r4).
+        import glob
+        cands = [p for p in glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "study_r*", "chipq", "bench_r*_initial.json"))
+            if os.path.exists(p)]
+        cands.sort(key=os.path.getmtime, reverse=True)
+        path = cands[0] if cands else ""
+    if not path or not os.path.exists(path):
+        return False
+    if time.time() - os.path.getmtime(path) > 86400.0:
+        print(f"cached bench at {path} is older than 24 h; refusing to "
+              "re-emit it", file=sys.stderr)
+        return False
     try:
         with open(path) as f:
             line = f.read().strip().splitlines()[-1]
