@@ -14,10 +14,30 @@ and overall DSC / HD95.
 """
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 import os
 
 import numpy as np
+
+
+def _config_hash(args, config_from_args) -> str:
+    """Hash of every result-affecting knob, stamped into each cached
+    fold{N}.json: re-running the same --tag/--sweep_out with different
+    hyperparameters regenerates instead of silently reusing stale folds
+    (ADVICE r4).  Run-placement fields (tag/root/fold/resume/...) are
+    excluded so moving a sweep or resuming it keeps the cache valid."""
+    args = type(args)(**vars(args))  # shallow copy; config_from_args mutates
+    args.fold = 0
+    d = dataclasses.asdict(config_from_args(args))
+    for k in ("fold", "tag", "root", "resume", "run_dir", "profile_dir",
+              "ckp_interval", "steps_per_dispatch", "device_resident_data",
+              "num_devices", "spatial_shards"):
+        d.pop(k, None)
+    d["patient_regex"] = args.patient_regex
+    blob = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
 def main(argv=None):
@@ -61,6 +81,7 @@ def main(argv=None):
 
     out_dir = args.sweep_out or os.path.join(args.root, f"sweep-{args.tag}")
     os.makedirs(out_dir, exist_ok=True)
+    cfg_hash = _config_hash(args, config_from_args)
 
     results = {}
     for fold in args.folds:
@@ -70,9 +91,13 @@ def main(argv=None):
         fold_json = os.path.join(out_dir, f"fold{fold}.json")
         if os.path.exists(fold_json):
             with open(fold_json) as f:
-                results[fold] = json.load(f)
-            print(f"fold {fold}: cached ({fold_json})")
-            continue
+                cached = json.load(f)
+            if cached.get("_config_hash") == cfg_hash:
+                results[fold] = cached
+                print(f"fold {fold}: cached ({fold_json})")
+                continue
+            print(f"fold {fold}: cached result has config hash "
+                  f"{cached.get('_config_hash')} != {cfg_hash}; regenerating")
         args.fold = fold
         config = config_from_args(args).validate()
         run_dir = train_driver(config, args.data_root,
@@ -91,7 +116,8 @@ def main(argv=None):
                 is_trans_conv=args.is_trans_conv),
             compute_dtype=args.compute_dtype,
             patient_regex=args.patient_regex)
-        results[fold] = {"dice": res["dice"], "hd95": res["hd95"],
+        results[fold] = {"_config_hash": cfg_hash,
+                         "dice": res["dice"], "hd95": res["hd95"],
                          "dice_per_patient": res["dice_per_patient"],
                          "hd95_per_patient": res["hd95_per_patient"],
                          "num_patients": res["num_patients"],

@@ -155,6 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="space-to-depth execution of the high-res stage-1 "
                         "blocks (exact math, measured ~2.5x faster on TPU; "
                         "--no-s2d_hires restores the plain layout)")
+    p.add_argument("--use_pallas_loss", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas loss kernel ('auto' resolves per "
+                        "backend; 'off' is the CPU-sane choice)")
+    p.add_argument("--tb_figures", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="per-epoch TB figure panels (host-side matplotlib "
+                        "rendering; --no-tb_figures for throughput studies)")
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--device_resident_data", type=str, default="auto",
                    choices=["auto", "on", "off"])
@@ -260,6 +268,8 @@ def config_from_args(args) -> ExperimentConfig:
         spatial_shards=args.spatial_shards,
         aug_image_interp=args.aug_image_interp,
         s2d_hires=args.s2d_hires,
+        use_pallas_loss=args.use_pallas_loss,
+        tb_figures=args.tb_figures,
         steps_per_dispatch=args.steps_per_dispatch,
         device_resident_data=args.device_resident_data,
         input_size=tuple(args.input_size) if args.input_size else None,

@@ -121,6 +121,10 @@ class ConvLayer(nn.Module):
                 self.features, x.shape[-1], self.kernel_size, name="conv")()
             bn = BNParamsOnly(self.features, name="norm")
             scale, beta = bn.affine()
+            # Match nn.Conv(dtype=...): compute in self.dtype regardless of
+            # the input dtype, so both implementations share semantics
+            # (ADVICE r4).
+            x = x.astype(self.dtype)
             xp = x if padded_in else jnp.pad(
                 x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             zp, m, v = conv_bn_lrelu_train(
@@ -306,6 +310,7 @@ class S2DConvLayer(nn.Module):
                                            name="conv")()
             bn = BNParamsOnly(self.features, name="norm")
             scale, beta = bn.affine()
+            x2 = x2.astype(self.dtype)  # match _S2DConv(dtype=...) semantics
             xp = x2 if padded_in else jnp.pad(
                 x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
             zp, m, v = conv_bn_lrelu_train(

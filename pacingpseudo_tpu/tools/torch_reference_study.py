@@ -130,7 +130,8 @@ def val_dice(prob_nchw, labs):
     return float(np.nanmean(per))
 
 
-def run_torch_arm(pacing, batches, steps, val, epochs, seed):
+def run_torch_arm(pacing, batches, steps, val, epochs, seed,
+                  eval_quirk=True, wd=WD):
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self   # reference calls .cuda()
     sys.path.insert(0, "/root/reference")
@@ -156,7 +157,7 @@ def run_torch_arm(pacing, batches, steps, val, epochs, seed):
         args_parser=args)
     init_sd = copy.deepcopy(tm.state_dict())
 
-    opt = torch.optim.Adam(tm.parameters(), lr=LR, weight_decay=WD)
+    opt = torch.optim.Adam(tm.parameters(), lr=LR, weight_decay=wd)
     vimg = torch.from_numpy(val["image"][:, None])
     vscb = torch.from_numpy(
         np.moveaxis(one_hot(val["scribble"], C + 1), -1, 1).copy())
@@ -181,15 +182,22 @@ def run_torch_arm(pacing, batches, steps, val, epochs, seed):
                 loss = loss + out["loss_aux_cls"] * 0.01
                 loss = loss + out["loss_memory"] * 1.0
             opt.zero_grad(); loss.backward(); opt.step()
-        tm.eval()                          # train_chaos.py:370 — and never back
+        # eval_quirk=True reproduces train_chaos.py:370 — tm.eval() after
+        # the first epoch and never back to train.  eval_quirk=False is the
+        # textbook regime (eval only for validation) for the Control-bias
+        # ablation (VERDICT r4 weak item 2).
+        tm.eval()
         with torch.no_grad():
             out = tm({"image": vimg, "scribble": vscb}, mode="val")
             prob = torch.softmax(out["segmentation/logits"], 1).numpy()
         curve.append(val_dice(prob, val["label"]))
+        if not eval_quirk:
+            tm.train()
     return init_sd, curve
 
 
-def run_jax_arm(pacing, init_sd, batches, steps, val, epochs):
+def run_jax_arm(pacing, init_sd, batches, steps, val, epochs,
+                eval_quirk=True, wd=WD):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -208,12 +216,12 @@ def run_jax_arm(pacing, init_sd, batches, steps, val, epochs):
         batch_size=batches[0]["image"].shape[0], epoch=epochs,
         init_ch=INIT_CH, max_ch=MAX_CH, hid_ch=HID,
         feat_stage=("encoder/stage6", "encoder/stage5"),
-        lr=LR, wd=WD, optimizer="adam", lr_decay="poly",
+        lr=LR, wd=wd, optimizer="adam", lr_decay="poly",
         loss_aux_weight=0.01, loss_memory_weight=1.0,
         loss_ent_weight=1.0, loss_cr_weight=1.0, ramp_up_scale=8.0,
         compute_dtype="float32", fuse_streams=False,
         memory_update_mode="first",
-        ref_quirk_bn_eval_after_first_epoch=True,
+        ref_quirk_bn_eval_after_first_epoch=eval_quirk,
         use_pallas_loss="off",
     ).validate()
     params, stats, bank = convert_state_dict(copy.deepcopy(init_sd))
@@ -230,7 +238,7 @@ def run_jax_arm(pacing, init_sd, batches, steps, val, epochs):
     curve = []
     vimg = jnp.asarray(val["image"][..., None])
     for epoch in range(epochs):
-        fn = step_train if epoch == 0 else step_frozen
+        fn = step_train if (epoch == 0 or not eval_quirk) else step_frozen
         for s in range(steps):
             b = batches[epoch * steps + s]
             jb = {"image": jnp.asarray(b["image"][..., None]),
@@ -258,6 +266,13 @@ def main(argv=None):
                     choices=["easy", "hard", "jagged"])
     ap.add_argument("--scribble_ratio", type=float, default=1.0)
     ap.add_argument("--val_gamma", type=float, default=1.0)
+    ap.add_argument("--no_eval_quirk", action="store_true", default=False,
+                    help="Control-bias ablation axis: textbook BN regime "
+                         "(eval only for validation) instead of the "
+                         "reference's eval()-forever quirk in BOTH stacks")
+    ap.add_argument("--wd", type=float, default=WD,
+                    help="Control-bias ablation axis: Adam weight decay "
+                         "for both stacks (reference default 3e-4)")
     ap.add_argument("--arms", nargs="+",
                     default=["torch_control", "torch_pacing",
                              "jax_control", "jax_pacing"])
@@ -277,9 +292,11 @@ def main(argv=None):
         fw, kind = arm.split("_")
         pacing = kind == "pacing"
         t0 = time.time()
+        eval_quirk = not args.no_eval_quirk
         if fw == "torch":
             sd, curve = run_torch_arm(pacing, batches, steps, val,
-                                      args.epochs, args.seed)
+                                      args.epochs, args.seed,
+                                      eval_quirk=eval_quirk, wd=args.wd)
             if init_sd is None:
                 init_sd = sd
         else:
@@ -287,7 +304,8 @@ def main(argv=None):
                 sd, _ = run_torch_arm(pacing, batches, steps, val, 0, args.seed)
                 init_sd = sd
             curve = run_jax_arm(pacing, init_sd, batches, steps, val,
-                                args.epochs)
+                                args.epochs, eval_quirk=eval_quirk,
+                                wd=args.wd)
         curve = np.asarray(curve)
         results[arm] = {
             "best_val_dice": float(np.nanmax(curve)),
@@ -305,7 +323,8 @@ def main(argv=None):
         "epochs": args.epochs, "n_train": args.n_train, "n_val": args.n_val,
         "batch": args.batch, "seed": args.seed,
         "difficulty": args.difficulty, "scribble_ratio": args.scribble_ratio,
-        "val_gamma": args.val_gamma}
+        "val_gamma": args.val_gamma, "eval_quirk": not args.no_eval_quirk,
+        "wd": args.wd}
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({a: {k: v for k, v in r.items() if k != "curve"}

@@ -333,6 +333,17 @@ def train_driver(config: ExperimentConfig, data_root: str,
     else:
         mesh = data_mesh(n_dev)
         logging.info("devices: %s (data mesh of %d)", jax.devices()[:n_dev], n_dev)
+    if n_dev * n_space > 1:
+        # The fused Pallas ConvLayer computes BN statistics inside the
+        # kernel, per shard; under a multi-device mesh that would silently
+        # break the global-batch sync-BN semantics the XLA path gets by
+        # construction.  Force the XLA path mechanically (ADVICE r4).
+        from pacingpseudo_tpu.ops.pallas.fused_convbn import (
+            get_conv_impl, set_conv_impl)
+        if get_conv_impl() != "xla":
+            logging.info("multi-device mesh: forcing conv impl fused -> xla "
+                         "(in-kernel BN statistics are per-shard)")
+            set_conv_impl("xla")
 
     model = _build_model(config, siamese)
     tx = make_optimizer(config, steps_per_epoch)
@@ -561,10 +572,22 @@ def train_driver(config: ExperimentConfig, data_root: str,
         toc = time.time()
         slices_per_sec = n_steps * config.batch_size / max(toc - tic, 1e-9)
         logging.info(
-            "epoch: %03d, lr: %.6f, %s, %.2f s/epoch, %.1f slices/s",
+            "epoch: %03d, lr: %.6f, %s, %.2f s/epoch, %.2f slices/s",
             epoch, means.get("lr", 0.0),
             ", ".join(f"{k}: {v:.6f}" for k, v in means.items() if k != "lr"),
             toc - tic, slices_per_sec)
+        if epoch == start_epoch:
+            # First-epoch wall-clock sanity line: a doomed run (the round-4
+            # CPU sweep burned 8 h at 0.04 slices/s before anyone noticed)
+            # is visible in ONE log line at launch.
+            left = (config.epoch - epoch - 1) * (toc - tic)
+            logging.info(
+                "first epoch took %.1f s -> projected finish %s (%.2f h "
+                "for the remaining %d epochs)",
+                toc - tic,
+                time.strftime("%Y-%m-%d %H:%M:%S",
+                              time.localtime(time.time() + left)),
+                left / 3600.0, config.epoch - epoch - 1)
         if tb:
             for k, v in means.items():
                 tag = "lr/current_lr" if k == "lr" else f"losses/{k}_train"
@@ -639,7 +662,9 @@ def train_driver(config: ExperimentConfig, data_root: str,
         if tb:
             tb.add_scalar("losses/loss_val", val_loss_avg, epoch)
             for n_, d in zip(spec_names, per_class):
-                tb.add_scalar(f"DSC/{n_}", d, epoch)
+                # TB rejects spaces in summary names ("right kidney") with a
+                # per-epoch warning; sanitize here, keep log.txt verbatim.
+                tb.add_scalar(f"DSC/{n_.replace(' ', '_')}", d, epoch)
             tb.add_scalar("DSC/All", avg_all, epoch)
             tb.add_scalar("DSC/Best", max(best_avg, avg_all), epoch)
 
