@@ -204,3 +204,24 @@ def test_batch_loader_keep_last(synth_root):
     loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False)
     batches = list(loader)
     assert sum(b["image"].shape[0] for b in batches) == 3
+
+
+def test_synthetic_regen_clears_stale_slices(tmp_path):
+    # ADVICE r4: regenerating a pool under a different layout (e.g. the
+    # pseudo-patient group size changed) must remove slice files from the
+    # previous naming, or directory-scanning consumers see a stale mix.
+    root = str(tmp_path)
+    synthetic.write_synthetic_dataset(
+        root, "acdc", num_slices=10, size=(32, 32), num_classes=2,
+        ignored_index=2, seed=4)
+    slice_dir = os.path.join(root, "acdc", "slices")
+    stale = os.path.join(slice_dir, "pat999_slice000.npz")
+    with open(stale, "wb") as f:
+        f.write(b"stale")
+    # different slice count -> marker mismatch -> regeneration
+    rel = synthetic.write_synthetic_dataset(
+        root, "acdc", num_slices=8, size=(32, 32), num_classes=2,
+        ignored_index=2, seed=4)
+    assert not os.path.exists(stale)
+    on_disk = {f for f in os.listdir(slice_dir) if f.endswith(".npz")}
+    assert on_disk == {os.path.basename(p) for p in rel}
