@@ -50,7 +50,16 @@ python -m pacingpseudo_tpu.tools.control_bias \
     --root study_r4/hunt --ablation_root "$CTRL" \
     | tee "$CTRL/control_bias_table.md"
 
-# ---- 3. CPU-sane five-fold sweep, fold-interleaved --------------------------
+# ---- 3. full pytest suite ---------------------------------------------------
+# Before the multi-hour sweep: a green suite is a hard round requirement;
+# the fold-interleaved sweep below tolerates truncation by design.
+log "full pytest suite"
+PALLAS_AXON_POOL_IPS= nice -n 15 timeout 10800 python -m pytest tests/ -q \
+    > /tmp/suite_r5.log 2>&1 && log "SUITE GREEN" \
+    || { log "SUITE FAILED"; tail -5 /tmp/suite_r5.log; }
+tail -2 /tmp/suite_r5.log
+
+# ---- 4. CPU-sane five-fold sweep, fold-interleaved --------------------------
 # Hunt-matched geometry: the direct 5-fold cross-validated version of the
 # regime where pacing demonstrably wins in the reference's own code.
 CPU_SANE=(--compute_dtype float32 --aug_image_interp bilinear
@@ -110,10 +119,4 @@ else
   done
 fi
 
-# ---- 4. full pytest suite ---------------------------------------------------
-log "full pytest suite"
-PALLAS_AXON_POOL_IPS= nice -n 15 timeout 10800 python -m pytest tests/ -q \
-    > /tmp/suite_r5.log 2>&1 && log "SUITE GREEN" \
-    || { log "SUITE FAILED"; tail -5 /tmp/suite_r5.log; }
-tail -2 /tmp/suite_r5.log
 log "round-5 CPU queue complete"
