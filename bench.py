@@ -46,40 +46,44 @@ def _emit_cached_bench(reason: str) -> bool:
     round-end bench call then still carries real measured numbers when the
     chip is busy finishing a queued (resumable, hours-long) training job.
     Returns True iff a cached measurement was emitted."""
-    path = os.environ.get("BENCH_CACHE_PATH")
-    if not path:
-        # Round-agnostic: any chip queue writes study_r*/chipq/
-        # bench_r*_initial.json; take the freshest.  Age-gated to 24 h so
-        # a measurement from an earlier round can never masquerade as a
-        # same-round capture (ADVICE r4).
-        import glob
-        cands = [p for p in glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "study_r*", "chipq", "bench_r*_initial.json"))
-            if os.path.exists(p)]
-        cands.sort(key=os.path.getmtime, reverse=True)
-        path = cands[0] if cands else ""
-    if not path or not os.path.exists(path):
-        return False
-    if time.time() - os.path.getmtime(path) > 86400.0:
-        print(f"cached bench at {path} is older than 24 h; refusing to "
-              "re-emit it", file=sys.stderr)
-        return False
-    try:
-        with open(path) as f:
-            line = f.read().strip().splitlines()[-1]
-        rec = json.loads(line)
-        if "metric" not in rec or "value" not in rec:
+    def _try_emit(path, age_gate):
+        if not path or not os.path.exists(path):
             return False
-    except (OSError, IndexError, ValueError):
-        return False
-    rec["cached"] = True
-    rec["cached_from"] = path
-    rec["cached_mtime"] = time.strftime(
-        "%Y-%m-%dT%H:%M:%S", time.localtime(os.path.getmtime(path)))
-    rec["cache_reason"] = reason
-    print(json.dumps(rec))
-    return True
+        if age_gate and time.time() - os.path.getmtime(path) > 86400.0:
+            print(f"cached bench at {path} is older than 24 h; skipping",
+                  file=sys.stderr)
+            return False
+        try:
+            with open(path) as f:
+                line = f.read().strip().splitlines()[-1]
+            rec = json.loads(line)
+            if "metric" not in rec or "value" not in rec:
+                return False
+        except (OSError, IndexError, ValueError):
+            return False  # empty / in-progress / garbage file: try the next
+        rec["cached"] = True
+        rec["cached_from"] = path
+        rec["cached_mtime"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%S", time.localtime(os.path.getmtime(path)))
+        rec["cache_reason"] = reason
+        print(json.dumps(rec))
+        return True
+
+    # An EXPLICIT operator override is honoured verbatim (no age gate).
+    override = os.environ.get("BENCH_CACHE_PATH")
+    if override:
+        return _try_emit(override, age_gate=False)
+    # Round-agnostic discovery: any chip queue writes study_r*/chipq/
+    # bench_r*_initial.json; walk freshest-first PAST empty/in-progress
+    # files (the queue truncates its target at step start), age-gated to
+    # 24 h so an earlier round's numbers can't masquerade as fresh.
+    import glob
+    cands = [p for p in glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "study_r*", "chipq", "bench_r*_initial.json"))
+        if os.path.exists(p)]
+    cands.sort(key=os.path.getmtime, reverse=True)
+    return any(_try_emit(p, age_gate=True) for p in cands)
 
 
 def main():

@@ -36,6 +36,13 @@ def _config_hash(args, config_from_args) -> str:
               "num_devices", "spatial_shards"):
         d.pop(k, None)
     d["patient_regex"] = args.patient_regex
+    # Dataset-defining and debug knobs that live on args, not the config —
+    # exactly the staleness class the hash exists to catch.  Must be
+    # captured BEFORE main() zeroes synthetic_data post-generation.
+    for k in ("synthetic_data", "synthetic_difficulty",
+              "synthetic_scribble_style", "synthetic_scribble_ratio",
+              "synthetic_size_jitter", "max_steps_per_epoch"):
+        d[k] = getattr(args, k, None)
     blob = json.dumps(d, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
@@ -61,6 +68,11 @@ def main(argv=None):
                    wait_s=float(os.environ.get("CHIP_LOCK_WAIT", "0")))
     enable_persistent_cache()
 
+    # Hash BEFORE the generation block zeroes synthetic_data, so the pool
+    # definition is part of the fold-cache key.  NOTE: a summary re-invoke
+    # must therefore pass the SAME synthetic flags as the training runs.
+    cfg_hash = _config_hash(args, config_from_args)
+
     if args.synthetic_data:
         from pacingpseudo_tpu.data.synthetic import write_synthetic_dataset
         spec = DATASETS[args.dataset]
@@ -81,7 +93,6 @@ def main(argv=None):
 
     out_dir = args.sweep_out or os.path.join(args.root, f"sweep-{args.tag}")
     os.makedirs(out_dir, exist_ok=True)
-    cfg_hash = _config_hash(args, config_from_args)
 
     results = {}
     for fold in args.folds:

@@ -209,11 +209,15 @@ def write_synthetic_dataset(root: str, dataset: str, num_slices: int,
         # Regenerating: clear slice files not in the new layout first, so a
         # directory-scanning consumer never sees a mix of stale and fresh
         # slices (e.g. a pool written before the adaptive-group-size change
-        # used different pseudo-patient names; ADVICE r4).
-        keep = {os.path.basename(p) for p in all_rel}
-        for fn in os.listdir(slice_dir):
-            if fn.endswith(".npz") and fn not in keep:
-                os.remove(os.path.join(slice_dir, fn))
+        # used different pseudo-patient names; ADVICE r4).  ONLY when the
+        # .generated marker proves this slices dir was written by us — a
+        # shared data_root holding real converted slices must never be
+        # swept by a synthetic regeneration.
+        if os.path.exists(marker):
+            keep = {os.path.basename(p) for p in all_rel}
+            for fn in os.listdir(slice_dir):
+                if fn.endswith(".npz") and fn not in keep:
+                    os.remove(os.path.join(slice_dir, fn))
         for i in range(num_slices):
             sz = size
             if size_jitter:

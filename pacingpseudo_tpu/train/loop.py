@@ -260,7 +260,34 @@ def train_driver(config: ExperimentConfig, data_root: str,
     ``stop_after_epoch=k`` exits cleanly after completing epoch ``k``
     (schedules still span ``config.epoch``) — a crash-at-epoch-k simulator
     for resume-equivalence tests.
+
+    On a multi-device host the fused Pallas ConvLayer is forced to the
+    XLA path for the DURATION of the run (its in-kernel BN statistics
+    would be per-shard, breaking sync-BN; ADVICE r4) and restored after —
+    process-global impl state must not leak across runs.
     """
+    from pacingpseudo_tpu.ops.pallas.fused_convbn import (
+        get_conv_impl, set_conv_impl)
+    avail = config.num_devices or len(jax.devices())
+    prev_impl = get_conv_impl()
+    if avail > 1 and prev_impl != "xla":
+        logging.info("multi-device host (%d): forcing conv impl %s -> xla "
+                     "for this run (in-kernel BN statistics are per-shard)",
+                     avail, prev_impl)
+        set_conv_impl("xla")
+        try:
+            return _train_driver(config, data_root, run_dir,
+                                 max_steps_per_epoch, stop_after_epoch)
+        finally:
+            set_conv_impl(prev_impl)
+    return _train_driver(config, data_root, run_dir,
+                         max_steps_per_epoch, stop_after_epoch)
+
+
+def _train_driver(config: ExperimentConfig, data_root: str,
+                  run_dir: Optional[str] = None,
+                  max_steps_per_epoch: Optional[int] = None,
+                  stop_after_epoch: Optional[int] = None) -> str:
     config.validate()
     upper_bound = config.session == "Upperbound"
     siamese = not upper_bound
@@ -333,17 +360,8 @@ def train_driver(config: ExperimentConfig, data_root: str,
     else:
         mesh = data_mesh(n_dev)
         logging.info("devices: %s (data mesh of %d)", jax.devices()[:n_dev], n_dev)
-    if n_dev * n_space > 1:
-        # The fused Pallas ConvLayer computes BN statistics inside the
-        # kernel, per shard; under a multi-device mesh that would silently
-        # break the global-batch sync-BN semantics the XLA path gets by
-        # construction.  Force the XLA path mechanically (ADVICE r4).
-        from pacingpseudo_tpu.ops.pallas.fused_convbn import (
-            get_conv_impl, set_conv_impl)
-        if get_conv_impl() != "xla":
-            logging.info("multi-device mesh: forcing conv impl fused -> xla "
-                         "(in-kernel BN statistics are per-shard)")
-            set_conv_impl("xla")
+    # (fused-conv impl forcing for multi-device hosts happens in the
+    # train_driver wrapper above, scoped to the run and restored after)
 
     model = _build_model(config, siamese)
     tx = make_optimizer(config, steps_per_epoch)

@@ -19,6 +19,12 @@
 #        (or let scripts/relay_watch_r4.sh start it when the relay returns)
 set -u
 cd /root/repo
+# Superseded: round 5 runs scripts/chip_queue_r5.sh (deadline-guarded).
+# Two queues on one chip re-create the round-3 relay wedge — refuse.
+if [ -f /root/repo/scripts/chip_queue_r5.sh ]; then
+  echo "chip_queue_r4 is superseded by chip_queue_r5; refusing to start"
+  exit 1
+fi
 Q=/root/repo/study_r4/chipq
 mkdir -p "$Q"
 log() { echo "[$(date +%H:%M:%S)] $*"; }

@@ -72,8 +72,9 @@ SW=/root/repo/study_r5/sweep
 mkdir -p "$SW/runs"
 sweep_fold () { # sweep_fold <session> <fold> [extra flags...]
   local session=$1 fold=$2; shift 2
-  if [ -f "$SW/$session/fold${fold}.json" ]; then
-    log "skip sweep $session fold $fold"; return 0; fi
+  # ALWAYS invoke: cli/sweep's own fold cache is config-hash-aware, so a
+  # cached fold returns in ~a minute and a hash-stale one retrains here
+  # (a bare file-existence skip would bypass that staleness check).
   log "protocol sweep: $session fold $fold ($(remaining) s left)"
   timeout 7200 python -m pacingpseudo_tpu.cli.sweep \
       --dataset chaos --modality t1 --session "$session" --tag "r5_$session" \
@@ -102,10 +103,14 @@ for session in Control Experiment; do
   extra=()
   [ "$session" = Experiment ] && extra=("${EXP_FLAGS[@]}")
   log "sweep summary $session over folds: $done_folds"
+  # Same synthetic flags as the training invocations: the fold-cache hash
+  # includes the pool definition, so omitting them would hash-mismatch
+  # every fold and retrain inside the summary timeout.
   # shellcheck disable=SC2086
-  timeout 1800 python -m pacingpseudo_tpu.cli.sweep \
+  timeout 7200 python -m pacingpseudo_tpu.cli.sweep \
       --dataset chaos --modality t1 --session "$session" --tag "r5_$session" \
-      --epoch 120 --data_root "$SW/data" --root "$SW/runs" \
+      --epoch 120 --synthetic_data 1916 --synthetic_difficulty jagged \
+      --data_root "$SW/data" --root "$SW/runs" \
       --sweep_out "$SW/$session" --folds $done_folds ${extra[@]+"${extra[@]}"} \
       >> "$SW/${session}.log" 2>&1 || log "SUMMARY $session FAILED"
 done
@@ -121,3 +126,4 @@ if [ ! -f lvsc_rehearsal/DONE ]; then
 fi
 
 log "chip queue complete ($(remaining) s before deadline)"
+touch /tmp/chip_queue_r5.complete   # tells relay_watch_r5 to stand down

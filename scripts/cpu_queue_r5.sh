@@ -23,9 +23,18 @@ CTRL=/root/repo/study_r5/ctrl
 SW=/root/repo/study_r5/cpu_sweep
 mkdir -p "$CTRL" "$SW/runs"
 
-# Serialise behind the hunt (same lock file the r4 scripts used).
+# Serialise behind the hunt (same lock file the r4 scripts used).  Retry
+# in bounded waits until the round deadline — a fixed 8 h wait could
+# expire while the 5-seed hunt still holds the lock and silently kill
+# this whole lane.
+DEADLINE=$(cat /root/repo/study_r5/ROUND_DEADLINE 2>/dev/null || echo 0)
 exec 9>/tmp/cpu_sweep_r4.qlock
-flock -w 28800 9 || { echo "hunt lock never freed"; exit 1; }
+until flock -w 600 9; do
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "past round deadline and hunt lock never freed"; exit 1
+  fi
+  log "still waiting for the hunt lock..."
+done
 log "lock acquired — starting round-5 CPU queue"
 
 # ---- 1. Control-bias ablations ---------------------------------------------
@@ -71,8 +80,8 @@ CPU_SANE=(--compute_dtype float32 --aug_image_interp bilinear
 EXP_FLAGS=(--do_loss_ent --do_decoder_consistency --do_aux_path --do_memory)
 sweep_fold () { # sweep_fold <session> <fold> [extra...]
   local session=$1 fold=$2; shift 2
-  if [ -f "$SW/$session/fold${fold}.json" ]; then
-    log "skip cpu sweep $session fold $fold"; return 0; fi
+  # ALWAYS invoke: cli/sweep's fold cache is config-hash-aware (a bare
+  # file-existence skip would bypass the staleness check).
   log "cpu sweep: $session fold $fold"
   JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= nice -n 15 timeout 10800 \
     python -m pacingpseudo_tpu.cli.sweep \

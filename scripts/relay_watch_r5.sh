@@ -8,7 +8,16 @@
 # Usage: nohup bash scripts/relay_watch_r5.sh > /tmp/relay_watch_r5.log 2>&1 &
 set -u
 cd /root/repo
+DEADLINE=$(cat /root/repo/study_r5/ROUND_DEADLINE 2>/dev/null || echo 0)
 while true; do
+  if [ -f /tmp/chip_queue_r5.complete ]; then
+    echo "[$(date +%H:%M:%S)] queue reported complete — watcher standing down"
+    exit 0
+  fi
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "[$(date +%H:%M:%S)] past round deadline — watcher standing down"
+    exit 0
+  fi
   if ss -tln | grep -qE '127\.0\.0\.1:8082 '; then
     if flock -n /tmp/chip_queue_r5.qlock true 2>/dev/null; then
       echo "[$(date +%H:%M:%S)] relay UP and queue idle — starting chip_queue_r5"
