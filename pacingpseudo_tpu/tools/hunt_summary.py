@@ -14,6 +14,15 @@ Usage:
   python -m pacingpseudo_tpu.tools.hunt_summary --root study_r4/hunt
       [--pick]        # print ONLY the winning config's CLI flags
       [--min_gap G]   # pick gate (default 0.02 DSC)
+      [--stat S]      # best | mean10+ | tail20 (default: all tables,
+                      #   pick on best for back-compat)
+
+Round-5 addendum: ``best_val_dice`` is an upward-biased extreme-value
+statistic on the noisy Control curves (see tools/control_bias.py), so the
+table renders under the robust trajectory statistics too — in the jagged
+regime the torch pacing-vs-control gap is +0.032 (4/5 seeds) at best but
++0.270 (5/5 seeds) at mean-of-epochs-10+: pacing stabilises trajectories
+that Control repeatedly collapses.
 """
 from __future__ import annotations
 
@@ -24,6 +33,8 @@ import os
 from collections import defaultdict
 
 import numpy as np
+
+from pacingpseudo_tpu.tools.control_bias import STATS
 
 
 def load_runs(root: str):
@@ -50,14 +61,18 @@ def load_runs(root: str):
     return runs
 
 
-def _best(r, arm):
+def _best(r, arm, stat="best"):
     a = r.get(arm)
-    return a["best_val_dice"] if a else np.nan
+    if not a:
+        return np.nan
+    v = STATS[stat](a)
+    return np.nan if v is None else v
 
 
-def table(runs) -> str:
-    lines = ["| difficulty | ratio | val_gamma | seeds | torch ctrl | "
-             "torch pace | torch gap | jax ctrl | jax pace | jax gap |",
+def table(runs, stat="best") -> str:
+    lines = [f"| difficulty | ratio | val_gamma | seeds | torch ctrl | "
+             f"torch pace | torch gap | jax ctrl | jax pace | jax gap |"
+             f"  <!-- statistic: {stat} -->",
              "|---|---|---|---|---|---|---|---|---|---|"]
     for key in sorted(runs):
         diff, ratio, vg = key
@@ -65,7 +80,7 @@ def table(runs) -> str:
         seeds = sorted(per_seed)
 
         def agg(arm):
-            vals = [_best(per_seed[s], arm) for s in seeds]
+            vals = [_best(per_seed[s], arm, stat) for s in seeds]
             vals = [v for v in vals if np.isfinite(v)]
             if not vals:
                 return "—", np.nan
@@ -84,13 +99,14 @@ def table(runs) -> str:
     return "\n".join(lines)
 
 
-def pick(runs, min_gap: float):
+def pick(runs, min_gap: float, stat="best"):
     """Config with the largest mean torch gap above the gate, as CLI flags."""
     best_key, best_gap = None, min_gap
     for key, per_seed in runs.items():
         gaps = []
         for s, r in per_seed.items():
-            g = _best(r, "torch_pacing") - _best(r, "torch_control")
+            g = (_best(r, "torch_pacing", stat)
+                 - _best(r, "torch_control", stat))
             if np.isfinite(g):
                 gaps.append(g)
         if gaps and float(np.mean(gaps)) > best_gap:
@@ -107,22 +123,28 @@ def main(argv=None):
     ap.add_argument("--root", default="study_r4/hunt")
     ap.add_argument("--pick", action="store_true")
     ap.add_argument("--min_gap", type=float, default=0.02)
+    ap.add_argument("--stat", default=None, choices=sorted(STATS),
+                    help="render/pick on one statistic; default renders "
+                         "all three tables and picks on 'best'")
     args = ap.parse_args(argv)
 
     runs = load_runs(args.root)
+    pick_stat = args.stat or "best"
     if args.pick:
-        flags, gap = pick(runs, args.min_gap)
+        flags, gap = pick(runs, args.min_gap, pick_stat)
         if flags is None:
             print("NONE")
         else:
             print(flags)
         return 0
-    print(table(runs))
-    flags, gap = pick(runs, args.min_gap)
+    for stat in ([args.stat] if args.stat else list(STATS)):
+        print(table(runs, stat))
+        print()
+    flags, gap = pick(runs, args.min_gap, pick_stat)
     if flags:
-        print(f"\nwinner (mean torch gap {gap:+.3f}): {flags}")
+        print(f"winner (mean torch {pick_stat} gap {gap:+.3f}): {flags}")
     else:
-        print(f"\nno config clears the +{args.min_gap} torch-gap gate")
+        print(f"no config clears the +{args.min_gap} torch-gap gate")
     return 0
 
 

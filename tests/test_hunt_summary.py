@@ -51,6 +51,28 @@ def test_merge_seeds_and_arms_and_pick(tmp_path):
     assert none_flags is None
 
 
+def test_stat_axis(tmp_path):
+    root = str(tmp_path)
+    # 30-epoch curves where best and mean10+ disagree: control spikes once
+    # (best 0.70) but averages 0.40; pacing is flat 0.55.
+    r = {"_config": {"seed": 1, "difficulty": "jagged", "scribble_ratio": 1.0,
+                     "val_gamma": 1.0},
+         "torch_control": {"best_val_dice": 0.70,
+                           "curve": [0.40] * 29 + [0.70]},
+         "torch_pacing": {"best_val_dice": 0.55, "curve": [0.55] * 30}}
+    with open(os.path.join(root, "c_s1.json"), "w") as f:
+        json.dump(r, f)
+    runs = hunt_summary.load_runs(root)
+    # best: pacing loses by 0.15 -> no pick
+    flags, _ = hunt_summary.pick(runs, min_gap=0.02, stat="best")
+    assert flags is None
+    # mean10+: control mean = (0.40*19 + 0.70)/20 = 0.415 -> gap +0.135
+    flags, gap = hunt_summary.pick(runs, min_gap=0.02, stat="mean10+")
+    assert flags is not None and abs(gap - 0.135) < 1e-9
+    tbl = hunt_summary.table(runs, stat="mean10+")
+    assert "statistic: mean10+" in tbl and "0.415" in tbl
+
+
 def test_jaxcache_sets_config(tmp_path, monkeypatch):
     import jax
 
