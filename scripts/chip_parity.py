@@ -27,6 +27,11 @@ import json
 import os
 import sys
 
+# Invoked as `python scripts/chip_parity.py` the interpreter puts scripts/
+# (not the repo root) on sys.path — bootstrap the package like
+# scripts/gen_lvsc_data.py does.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 RESULTS = {}
 
 

@@ -22,6 +22,11 @@ import re
 import sys
 import time
 
+# Invoked as `python scripts/profile_step.py` the interpreter puts scripts/
+# (not the repo root) on sys.path — bootstrap the package like
+# scripts/gen_lvsc_data.py does.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def aggregate_trace(trace_dir: str, top: int = 40):
     """Aggregate 'XLA Ops' rows by op name from a profiler trace.json.gz."""
@@ -80,6 +85,13 @@ def main():
     if args.parse_only:
         aggregate_trace(args.parse_only)
         return
+
+    # Mechanical chip safety, like every other chip client (bench.py,
+    # chip_parity.py, the CLI drivers): refuse fast on a dead relay and
+    # hold the exclusive chip flock for the duration of the trace.
+    from pacingpseudo_tpu.utils.chiplock import preflight_chip
+    preflight_chip(owner_note=f"profile_step.py b{args.batch}",
+                   wait_s=float(os.environ.get("CHIP_LOCK_WAIT", "900")))
 
     out = args.out or f"/tmp/prof_b{args.batch}{'_aug' if args.aug_only else ''}"
     os.makedirs(out, exist_ok=True)
@@ -175,4 +187,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        print(f"profile_step refusing to run: {e}", file=sys.stderr)
+        sys.exit(2)
