@@ -60,22 +60,33 @@ def _matmul_sums(x2d, groups):
 
     ``x2d``: (n, C_phys) in the compute dtype (bf16 products accumulate
     exactly in f32: 8-bit mantissas multiply into 16 bits < f32's 24).
+
+    ``Precision.HIGHEST`` matters only for f32 inputs: at DEFAULT the TPU
+    MXU truncates f32 operands to one bf16 pass, which the round-5 on-chip
+    parity gate measured at 0.22 max grad error vs the reduce path
+    (study_r5/chipq/chip_parity.json); multi-pass restores f32 accuracy at
+    negligible cost (these products are skinny and HBM-bound, and for bf16
+    inputs the flag is a no-op).
     """
     gram = lax.dot_general(x2d, x2d, (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
     ones = jnp.ones((x2d.shape[0],), x2d.dtype)
     sums = lax.dot_general(ones, x2d, (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
     return _fold_groups(sums, groups), _fold_groups(jnp.diagonal(gram), groups)
 
 
 def _matmul_dot_sums(g2d, x2d, groups):
     """(sum_g, sum_gx) per logical channel for the backward pass."""
     prod = lax.dot_general(g2d, x2d, (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
     ones = jnp.ones((g2d.shape[0],), g2d.dtype)
     sums = lax.dot_general(ones, g2d, (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
     return _fold_groups(sums, groups), _fold_groups(jnp.diagonal(prod), groups)
 
 

@@ -70,6 +70,13 @@ from pacingpseudo_tpu.ops.fused_bn import _fold_groups, _tile_groups
 _CONV_IMPL = None  # lazy: resolved from env on first use
 _TH = 16  # row-tile height (bf16 sublane tile)
 
+# Mosaic's default scoped-VMEM budget is 16 MiB; the full-image revisit
+# blocks of the stage-1 256^2 shapes need 17.3 MiB (measured on chip,
+# round-5 bench: "Scoped allocation with size 17.27M ... exceeded scoped
+# vmem limit by 1.27M").  The v5e core has 128 MiB of physical VMEM, so
+# raise the budget with ample headroom for the compiler's own buffers.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def set_conv_impl(impl: str) -> None:
     global _CONV_IMPL
@@ -259,6 +266,7 @@ def _conv_stats_call(xp, w9, bias, co):
             bytes_accessed=xp.size * xp.dtype.itemsize * 2,
             transcendentals=0),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(xp, w9, bias.reshape(1, co).astype(jnp.float32))
     return y, sums
 
@@ -273,6 +281,7 @@ def _bn_sums_call(y, gzp, aux, slope):
         out_specs=_const_spec((2, co)),
         out_shape=jax.ShapeDtypeStruct((2, co), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(y, gzp, aux)
 
 
@@ -289,6 +298,7 @@ def _conv_pad_out_call(dyp, w9t, ci):
             bytes_accessed=dyp.size * dyp.dtype.itemsize * 2,
             transcendentals=0),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(dyp, w9t)
 
 
