@@ -1,12 +1,13 @@
-"""Flax BatchNorm module backed by the matmul-moments core (ops/fused_bn).
+"""Flax BatchNorm module with switchable statistics core (ops/fused_bn).
 
 Drop-in replacement for ``nn.BatchNorm`` inside ConvLayer (and the S2D
 group variant): identical parameter/stat names and shapes (params
 ``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoints and the
 torch importer/exporter are oblivious, identical semantics (population
-variance, momentum EMA, f32 statistics), but the batch statistics and the
-backward reductions run as MXU matmuls instead of channel-minor reduce
-fusions (see ops/fused_bn.py for the measured rationale).
+variance, momentum EMA, f32 statistics).  The batch statistics can run
+either as plain reduces (what flax lowers to — measured fastest e2e on
+chip, the default) or as MXU matmuls (ops/fused_bn.py; kept as the A/B
+alternative bench.py times each round).
 """
 from __future__ import annotations
 
@@ -17,12 +18,17 @@ import jax.numpy as jnp
 from pacingpseudo_tpu.ops.fused_bn import (
     batch_norm_eval, batch_norm_train, batch_norm_train_reduce)
 
-# Trace-time statistics implementation: "matmul" (MXU products, custom
-# VJP — the default) or "reduce" (plain jnp.mean reductions, autodiff —
-# exactly what flax nn.BatchNorm lowers to).  Identical numerics; kept
-# switchable so bench.py can A/B the round-3 MXU-BN rework end-to-end
-# (VERDICT r3 item 1).  Settable via env PACING_BN_IMPL or set_bn_impl()
-# BEFORE the train step is traced.
+# Trace-time statistics implementation: "reduce" (plain jnp.mean
+# reductions, autodiff — exactly what flax nn.BatchNorm lowers to; the
+# default) or "matmul" (MXU products, custom VJP).  Identical numerics;
+# kept switchable so bench.py can A/B the round-3 MXU-BN rework
+# end-to-end.  The round-5 on-chip A/B (BENCH_r05 step_ms_by_bn_impl:
+# reduce 69.21 ms vs matmul 71.22 ms at the flagship batch-12 step)
+# measured the reduce path 2.8% FASTER e2e — current XLA fuses the
+# channel-minor moment reductions well enough that the Gram products'
+# extra structural FLOPs are a net loss — so the default flipped to
+# "reduce" from data (VERDICT r4 item 1).  Settable via env
+# PACING_BN_IMPL or set_bn_impl() BEFORE the train step is traced.
 _BN_IMPL = None  # lazy: resolved from env on first use
 
 
@@ -36,7 +42,7 @@ def get_bn_impl() -> str:
     global _BN_IMPL
     if _BN_IMPL is None:
         import os
-        _BN_IMPL = os.environ.get("PACING_BN_IMPL", "matmul")
+        _BN_IMPL = os.environ.get("PACING_BN_IMPL", "reduce")
         assert _BN_IMPL in ("matmul", "reduce"), _BN_IMPL
     return _BN_IMPL
 
