@@ -34,6 +34,7 @@ SURVEY.md §7 accepts DSC-level parity for the resample-order transforms):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -399,6 +400,35 @@ def strong_augment_sample(image, partner, key, p: StrongAugParams):
 # Batch-level entry points
 # ---------------------------------------------------------------------------
 
+# VMEM-residency chunk for the base-aug vmap.  The fused warp's one
+# row-gather reads a (chunk*H*W, 24) f32 table; XLA keeps the table in
+# VMEM when it fits (~6.3 MB/sample at 256^2) and the gather runs ~9x
+# faster per slice than the HBM fallback.  Round-5 on-chip profiles
+# (study_r5/chipq/prof_b{12,24,48}) measured the cliff directly: the
+# batched gather costs 6.3 ms/step at batch 12 (table 75 MB, placed in
+# VMEM, input annotated S(1)) but 55.8 ms at batch 24 and 111.5 ms at
+# batch 48 (151/302 MB tables spill to HBM, ~5.6 GB/s random access) —
+# the entire b24/b48 per-slice regression of BENCH_r02..r05.  Mapping
+# the SAME per-sample program over batch chunks of 12 reproduces the
+# VMEM-resident configuration at every batch size; chunking is a pure
+# execution-order change (identical per-sample math).
+_AUG_CHUNK = int(os.environ.get("PACING_AUG_CHUNK", "12"))
+
+
+def _vmap_in_chunks(f, args):
+    """vmap ``f`` over the leading axis, executed in lax.map chunks of
+    ``_AUG_CHUNK`` so per-chunk gather tables stay VMEM-resident.  Falls
+    back to one plain vmap when the batch is small or indivisible."""
+    n = args[0].shape[0]
+    chunk = _AUG_CHUNK
+    if chunk <= 0 or n <= chunk or n % chunk != 0:
+        return jax.vmap(f)(*args)
+    k = n // chunk
+    resh = tuple(a.reshape((k, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(lambda xs: jax.vmap(f)(*xs), resh)
+    return jax.tree.map(lambda o: o.reshape((n,) + o.shape[2:]), out)
+
+
 def _finalize(one_hot_classes, out, do_strong, strong_img=None):
     """Convert hard labels to the one-hot layout the losses expect
     (ToTorchTensor semantics, augmentations.py:421-446): label one-hot over
@@ -438,9 +468,9 @@ def augment_batch(raw: Dict[str, jnp.ndarray], rng,
     keys = jax.random.split(rng, n + 1)
     sample_keys = keys[:n]
 
-    base = jax.vmap(
-        lambda im, la, sc, sz, k: base_augment_sample(im, la, sc, sz, k, base_params)
-    )(raw["image"], raw["label"], raw["scribble"], raw["size"], sample_keys)
+    base = _vmap_in_chunks(
+        lambda im, la, sc, sz, k: base_augment_sample(im, la, sc, sz, k, base_params),
+        (raw["image"], raw["label"], raw["scribble"], raw["size"], sample_keys))
 
     strong_img = None
     if do_strong:

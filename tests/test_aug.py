@@ -495,3 +495,35 @@ def test_cubic_warp_identity_at_integer_coords(rng):
         bound_h=jnp.float32(h), bound_w=jnp.float32(w))
     assert np.allclose(np.asarray(img), src, atol=1e-5)
     assert np.array_equal(np.asarray(labo), lab)
+
+
+def test_batch_augment_chunked_matches_unchunked(rng, monkeypatch):
+    """The VMEM-residency chunking of the base-aug vmap (engine
+    _vmap_in_chunks, round-5 batch-scaling fix) is a pure execution-order
+    change: chunked and single-vmap traces must agree bit for bit."""
+    from pacingpseudo_tpu.aug import engine
+
+    n = 6
+    raw = {
+        "image": jnp.asarray(rng.randn(n, S, S), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, C, (n, S, S)), jnp.float32),
+        "scribble": jnp.asarray(rng.randint(0, C + 1, (n, S, S)), jnp.float32),
+        "size": jnp.asarray(np.tile([CH, CW], (n, 1)), jnp.int32),
+    }
+    p = _params(p_scale=0.3, p_rotate=0.3, p_elastic=0.3, p_mirror_y=0.5)
+    sp = StrongAugParams.color(1.0)
+    key = jax.random.PRNGKey(5)
+
+    monkeypatch.setattr(engine, "_AUG_CHUNK", 3)
+    jax.clear_caches()  # _AUG_CHUNK is read at trace time
+    chunked = {k: np.asarray(v)
+               for k, v in augment_batch(raw, key, p, sp, True).items()}
+    monkeypatch.setattr(engine, "_AUG_CHUNK", 0)
+    jax.clear_caches()
+    plain = {k: np.asarray(v)
+             for k, v in augment_batch(raw, key, p, sp, True).items()}
+    jax.clear_caches()  # don't leak trace-cache state to other tests
+
+    assert sorted(chunked) == sorted(plain)
+    for k in plain:
+        np.testing.assert_array_equal(chunked[k], plain[k], err_msg=k)
