@@ -412,15 +412,29 @@ def strong_augment_sample(image, partner, key, p: StrongAugParams):
 # the SAME per-sample program over batch chunks of 12 reproduces the
 # VMEM-resident configuration at every batch size; chunking is a pure
 # execution-order change (identical per-sample math).
-_AUG_CHUNK = int(os.environ.get("PACING_AUG_CHUNK", "12"))
+#
+# None = resolve lazily: env PACING_AUG_CHUNK if set, else 12 on a single
+# device and DISABLED under a multi-device mesh — there the batch dim is
+# already sharded (each device's table slice is VMEM-sized without help)
+# and the lax.map reshape of a sharded dim would force GSPMD collectives.
+_AUG_CHUNK = None
+
+
+def _aug_chunk() -> int:
+    global _AUG_CHUNK
+    if _AUG_CHUNK is None:
+        env = os.environ.get("PACING_AUG_CHUNK", "")
+        _AUG_CHUNK = int(env) if env else (
+            12 if jax.device_count() == 1 else 0)
+    return _AUG_CHUNK
 
 
 def _vmap_in_chunks(f, args):
     """vmap ``f`` over the leading axis, executed in lax.map chunks of
-    ``_AUG_CHUNK`` so per-chunk gather tables stay VMEM-resident.  Falls
+    ``_aug_chunk()`` so per-chunk gather tables stay VMEM-resident.  Falls
     back to one plain vmap when the batch is small or indivisible."""
     n = args[0].shape[0]
-    chunk = _AUG_CHUNK
+    chunk = _aug_chunk()
     if chunk <= 0 or n <= chunk or n % chunk != 0:
         return jax.vmap(f)(*args)
     k = n // chunk

@@ -514,11 +514,11 @@ def test_batch_augment_chunked_matches_unchunked(rng, monkeypatch):
     sp = StrongAugParams.color(1.0)
     key = jax.random.PRNGKey(5)
 
-    monkeypatch.setattr(engine, "_AUG_CHUNK", 3)
+    monkeypatch.setattr(engine, "_AUG_CHUNK", 3)  # bypass lazy default
     jax.clear_caches()  # _AUG_CHUNK is read at trace time
     chunked = {k: np.asarray(v)
                for k, v in augment_batch(raw, key, p, sp, True).items()}
-    monkeypatch.setattr(engine, "_AUG_CHUNK", 0)
+    monkeypatch.setattr(engine, "_AUG_CHUNK", 0)  # plain vmap
     jax.clear_caches()
     plain = {k: np.asarray(v)
              for k, v in augment_batch(raw, key, p, sp, True).items()}
