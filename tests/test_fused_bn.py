@@ -179,3 +179,35 @@ def test_eval_mode_uses_running_stats():
     y_ref = (x - mean) * jax.lax.rsqrt(var + 1e-5) * 1.5 + 0.25
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_statistics_matmuls_request_highest_precision():
+    """Round-5 on-chip parity gate caught the matmul statistics failing at
+    f32 (max grad err 0.22): TPU lowers DEFAULT-precision f32 dot_generals
+    as one bf16 pass, which the E[x^2]-m^2 cancellation amplifies.  The
+    numeric failure only reproduces on real hardware, so pin the fix at
+    the jaxpr level: every statistics product must request
+    Precision.HIGHEST (fwd sums and bwd dot-sums)."""
+    x = jnp.zeros((2, 4, 4, 8), jnp.float32)
+    sc = jnp.ones((8,), jnp.float32)
+    be = jnp.zeros((8,), jnp.float32)
+
+    def fwd_bwd(x, sc, be):
+        def loss(x, sc, be):
+            y, m, v = batch_norm_train(x, sc, be, 1e-5, 1)
+            return jnp.sum(y)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x, sc, be)
+
+    found = []
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                found.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr)
+
+    walk(jax.make_jaxpr(fwd_bwd)(x, sc, be).jaxpr)
+    assert len(found) >= 4, f"expected fwd+bwd statistics dots, saw {found}"
+    assert all(p == (jax.lax.Precision.HIGHEST,) * 2 for p in found), found
