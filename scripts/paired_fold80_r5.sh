@@ -25,13 +25,14 @@ run_arm () { # run_arm <session> [extra flags...]
         --sweep_out "$SW/${session}80" --folds 0 "$@" \
         >> "$logf" 2>&1 &
     local pid=$!
-    # stall watchdog: kill if the log stops growing for 150 s
+    # stall watchdog: kill if the log stops growing for 330 s
+    # (epoch-0 compile is ~180 s of silent log — do not shoot it)
     local last=0 same=0
     while kill -0 $pid 2>/dev/null; do
       sleep 30
       local sz=$(wc -c < "$logf" 2>/dev/null || echo 0)
       if [ "$sz" -eq "$last" ]; then same=$((same+30)); else same=0; last=$sz; fi
-      if [ "$same" -ge 150 ]; then
+      if [ "$same" -ge 330 ]; then
         log "STALL detected ($session) — killing pid $pid"
         kill -9 $pid 2>/dev/null; rm -f /tmp/tpu_chip.lock
         break
