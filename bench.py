@@ -306,10 +306,15 @@ def main():
     from pacingpseudo_tpu.models.norm import get_bn_impl, set_bn_impl
     from pacingpseudo_tpu.ops.pallas.fused_convbn import (
         get_conv_impl, set_conv_impl)
+    from pacingpseudo_tpu.ops.s2d import get_layout_impl, set_layout_impl
     step_ms_by_bn_impl = ab_step("bn", get_bn_impl, set_bn_impl,
                                  ("matmul", "reduce"))
     step_ms_by_conv_impl = ab_step("conv", get_conv_impl, set_conv_impl,
                                    ("xla", "fused"))
+    # Layout v1/v2 (ops/s2d.py): plain-concat decoder + reshape-view pools
+    # vs the round-5-profiled data-formatting copies (~13 ms/step at b24).
+    step_ms_by_layout_impl = ab_step("layout", get_layout_impl,
+                                     set_layout_impl, ("v1", "v2"))
 
     # ---- Batch-scaling table (larger batches amortise the small-channel
     # stages' bandwidth floor; the headline stays at the reference's batch
@@ -374,6 +379,7 @@ def main():
         "aug_ms_by_warp_impl": aug_by_impl,
         "step_ms_by_bn_impl": step_ms_by_bn_impl,
         "step_ms_by_conv_impl": step_ms_by_conv_impl,
+        "step_ms_by_layout_impl": step_ms_by_layout_impl,
         "batch_scaling_slices_per_sec": scaling,
     }))
     return slices_per_sec

@@ -41,8 +41,12 @@ from pacingpseudo_tpu.ops.s2d import (
     depth_to_space,
     expand_kernel1x1,
     expand_kernel3x3,
+    get_layout_impl,
     group_concat,
+    group_concat_plain,
     group_max_pool,
+    max_pool2x2_firstmax,
+    s2d_block_input_perm,
     space_to_depth,
     upsample2x_align_corners_s2d,
 )
@@ -202,7 +206,15 @@ class EncBlock(nn.Module):
     def __call__(self, x, train: bool):
         stride1 = 1
         if self.do_subsamp and not self.is_stride_conv:
-            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+            # Layout v2: reshape-view pool with first-max VJP instead of
+            # reduce_window — avoids the select-and-scatter backward's
+            # H-minor layout preference (ops/s2d.py, identical values and
+            # tie routing).
+            if (get_layout_impl() == "v2"
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                x = max_pool2x2_firstmax(x)
+            else:
+                x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         elif self.do_subsamp and self.is_stride_conv:
             stride1 = 2
         x = DoubleConv(self.features, stride1=stride1, dilation=self.dilation,
@@ -265,11 +277,17 @@ class DecBlock(nn.Module):
 
 
 class _S2DConv(nn.Module):
-    """Logical conv params, dense S2D execution (name it "conv")."""
+    """Logical conv params, dense S2D execution (name it "conv").
+
+    ``in_splits=(ca, cb)`` declares the input as a layout-v2 BLOCK-order
+    concat (``group_concat_plain``); the dense kernel's input axis is
+    permuted to match (ops/s2d.py:s2d_block_input_perm) — parameters stay
+    logical either way."""
 
     features: int
     kernel_size: int = 3
     dtype: Dtype = jnp.float32
+    in_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x2):
@@ -280,7 +298,10 @@ class _S2DConv(nn.Module):
         bias = self.param("bias", make_torch_bias_init(ks * ks * cin),
                           (self.features,))
         dense = (expand_kernel3x3(kernel) if ks == 3
-                 else expand_kernel1x1(kernel)).astype(self.dtype)
+                 else expand_kernel1x1(kernel))
+        if self.in_splits is not None:
+            dense = dense[:, :, s2d_block_input_perm(*self.in_splits), :]
+        dense = dense.astype(self.dtype)
         pad = 1 if ks == 3 else 0
         y = jax.lax.conv_general_dilated(
             x2.astype(self.dtype), dense, (1, 1), ((pad, pad), (pad, pad)),
@@ -298,6 +319,7 @@ class S2DConvLayer(nn.Module):
     features: int
     negative_slope: float = 1e-2
     dtype: Dtype = jnp.float32
+    in_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x2, train: bool, padded_in: bool = False,
@@ -313,14 +335,18 @@ class S2DConvLayer(nn.Module):
             x2 = x2.astype(self.dtype)  # match _S2DConv(dtype=...) semantics
             xp = x2 if padded_in else jnp.pad(
                 x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            dense = expand_kernel3x3(kernel)
+            if self.in_splits is not None:
+                dense = dense[:, :, s2d_block_input_perm(*self.in_splits), :]
             zp, m, v = conv_bn_lrelu_train(
-                xp, expand_kernel3x3(kernel), jnp.tile(cbias, 4),
+                xp, dense, jnp.tile(cbias, 4),
                 scale, beta, 1e-5, 4, self.negative_slope)
             bn(m, v)
             return zp if padded_out else zp[:, 1:-1, 1:-1, :]
         if padded_in:
             x2 = x2[:, 1:-1, 1:-1, :]
-        x2 = _S2DConv(self.features, 3, dtype=self.dtype, name="conv")(x2)
+        x2 = _S2DConv(self.features, 3, dtype=self.dtype,
+                      in_splits=self.in_splits, name="conv")(x2)
         x2 = MatmulBatchNorm(groups=4, name="norm")(
             x2, use_running_average=not train)
         x2 = nn.leaky_relu(x2.astype(self.dtype),
@@ -333,12 +359,14 @@ class S2DConvLayer(nn.Module):
 class S2DDoubleConv(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
+    in_splits: tuple | None = None   # block-order input (first layer only)
 
     @nn.compact
     def __call__(self, x2, train: bool):
         chain = (train and get_conv_impl() == "fused"
                  and fusable(x2.shape[1], x2.shape[2], 3, 1, 1))
         x2 = S2DConvLayer(self.features, dtype=self.dtype,
+                          in_splits=self.in_splits,
                           name="conv_layer1")(x2, train, padded_out=chain)
         x2 = S2DConvLayer(self.features, dtype=self.dtype,
                           name="conv_layer2")(x2, train, padded_in=chain)
@@ -351,10 +379,12 @@ class _S2DBlock(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    in_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x2, train: bool):
         return S2DDoubleConv(self.features, dtype=self.dtype,
+                             in_splits=self.in_splits,
                              name="conv_block")(x2, train)
 
 
@@ -447,8 +477,19 @@ class UNet(nn.Module):
         dec2 = DecBlock(ch[1], up_factor=2, is_trans_conv=self.is_trans_conv,
                         dtype=dt, name="dec_block2")(dec3, enc2, train)
         if use_s2d:
-            cat = group_concat(upsample2x_align_corners_s2d(dec2), enc1_s2d)
-            dec1_s2d = _S2DBlock(ch[0], dtype=dt, name="dec_block1")(cat, train)
+            up1_s2d = upsample2x_align_corners_s2d(dec2)
+            if get_layout_impl() == "v2":
+                # Block-order concat + kernel-input permutation in the
+                # consumer conv: same linear map, no lane-shuffle copy
+                # (ops/s2d.py layout-v2 notes).
+                cat = group_concat_plain(up1_s2d, enc1_s2d)
+                dec1_s2d = _S2DBlock(ch[0], dtype=dt,
+                                     in_splits=(ch[1], ch[0]),
+                                     name="dec_block1")(cat, train)
+            else:
+                cat = group_concat(up1_s2d, enc1_s2d)
+                dec1_s2d = _S2DBlock(ch[0], dtype=dt,
+                                     name="dec_block1")(cat, train)
             dec1 = depth_to_space(dec1_s2d)   # end-points view (DCE'd if unused)
             logits = depth_to_space(_S2DConv(
                 self.num_classes, 1, dtype=dt, name="final_conv")(dec1_s2d))

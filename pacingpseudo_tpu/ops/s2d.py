@@ -29,10 +29,50 @@ S2D channel order is ``(p, q, ci)`` with ``ci`` minor: lane index
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pacingpseudo_tpu.ops.resize import _interp_matrix
+
+# ---------------------------------------------------------------------------
+# Layout-implementation switch ("v1" | "v2").
+#
+# v2 targets the ~13 ms/step of `data formatting` copies in the round-5
+# batch-12 trace (study_r5/chipq/prof_b12): XLA materialises full-tensor
+# layout copies around (a) the decoder's interleaving group_concat
+# (bf16[24,128,128,4,96] + two [.,384] transposes, ~2.8 ms/step), (b) the
+# stage-2/3 max-pool select-and-scatter, which prefers H-minor layouts and
+# drags ~3.5 ms/step of {1,3,2,0}<->{3,0,2,1} copies on the 64-ch tensors,
+# and (c) the s32 argmax residual of group_max_pool (~0.6 ms/step).  The
+# v2 formulations keep every tensor channel-minor:
+#   * plain channel concat + a compile-time input-axis permutation of the
+#     consumer's expanded dense kernel (same linear map, no data shuffle);
+#   * reshape-view 2x2 max pool with a first-max custom VJP (elementwise
+#     compares, no select-and-scatter);
+#   * compare-based group_max_pool backward (no s32 index residual).
+# Forward values are bit-exact for the pools; the dec_block1 convs sum
+# input channels in a permuted order (float-level reordering only).
+# Selection: env PACING_LAYOUT_IMPL, default "v1" until measured on chip.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_IMPL = None  # lazy: resolved from env on first use
+
+
+def set_layout_impl(impl: str) -> None:
+    global _LAYOUT_IMPL
+    assert impl in ("v1", "v2"), impl
+    _LAYOUT_IMPL = impl
+
+
+def get_layout_impl() -> str:
+    global _LAYOUT_IMPL
+    if _LAYOUT_IMPL is None:
+        _LAYOUT_IMPL = os.environ.get("PACING_LAYOUT_IMPL", "v1")
+        assert _LAYOUT_IMPL in ("v1", "v2"), _LAYOUT_IMPL
+    return _LAYOUT_IMPL
 
 
 def space_to_depth(x):
@@ -63,7 +103,15 @@ def group_max_pool(x2):
     Implemented as a custom VJP — the equivalent ``lax.reduce_window``
     lowering measured ~4.6 ms/step slower (its select-and-scatter
     backward), while this is an elementwise one-hot scatter.
+
+    Layout v2 keeps the identical routing but derives the first-max mask
+    from compares against the saved output (4 C-wide slices + masked
+    writes, all channel-minor) instead of an argmax: no s32 index
+    residual, no rank-5 reshape — the b12 trace charges the v1 argmax
+    residual's layout copy ~0.6 ms/step.
     """
+    if get_layout_impl() == "v2":
+        return _group_max_pool_v2(x2)
     return _group_max_pool(x2)
 
 
@@ -96,6 +144,82 @@ def _gmp_bwd(res, ct):
 _group_max_pool.defvjp(_gmp_fwd, _gmp_bwd)
 
 
+@jax.custom_vjp
+def _group_max_pool_v2(x2):
+    c = x2.shape[-1] // 4
+    p = [x2[..., k * c:(k + 1) * c] for k in range(4)]
+    return jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3]))
+
+
+def _gmp2_fwd(x2):
+    m = _group_max_pool_v2(x2)
+    return m, (x2, m)
+
+
+def _gmp2_bwd(res, ct):
+    # First-max-in-scan-order routing via sequential prior-equality masks
+    # (group scan order == the spatial 2x2 window scan order, as in v1).
+    x2, m = res
+    c = m.shape[-1]
+    outs, prior = [], None
+    for k in range(4):
+        eq = x2[..., k * c:(k + 1) * c] == m
+        sel = eq if prior is None else eq & ~prior
+        prior = eq if prior is None else prior | eq
+        outs.append(jnp.where(sel, ct, jnp.zeros((), x2.dtype)))
+    return (jnp.concatenate(outs, axis=-1).astype(x2.dtype),)
+
+
+_group_max_pool_v2.defvjp(_gmp2_fwd, _gmp2_bwd)
+
+
+@jax.custom_vjp
+def max_pool2x2_firstmax(x):
+    """2x2/stride-2 max pool of plain (N, H, W, C), H and W even, with the
+    torch-``MaxPool2d``/``nn.max_pool`` tie routing (all gradient to the
+    FIRST maximum in window scan order).
+
+    Layout-v2 replacement for ``lax.reduce_window``: on TPU the
+    select-and-scatter backward prefers H-minor layouts and XLA inserts
+    full-tensor {1,3,2,0}<->{3,0,2,1} copies around it (~3.5 ms/step at
+    batch 24, study_r5/chipq/prof_b12).  Here both directions are
+    reshape views + elementwise compares/selects that stay channel-minor.
+    """
+    return _mp_fwd(x)[0]
+
+
+def _mp_parts(x):
+    n, H, W, c = x.shape
+    v = x.reshape(n, H // 2, 2, W // 2, 2, c)
+    return [v[:, :, a, :, b, :] for a in range(2) for b in range(2)]
+
+
+def _mp_fwd(x):
+    p = _mp_parts(x)
+    return jnp.maximum(jnp.maximum(p[0], p[1]),
+                       jnp.maximum(p[2], p[3])), (x,)
+
+
+def _mp_bwd(res, ct):
+    (x,) = res
+    n, H, W, c = x.shape
+    p = _mp_parts(x)
+    m = jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3]))
+    outs, prior = [], None
+    for k in range(4):
+        eq = p[k] == m
+        sel = eq if prior is None else eq & ~prior
+        prior = eq if prior is None else prior | eq
+        outs.append(jnp.where(sel, ct, jnp.zeros((), x.dtype)))
+    row0 = jnp.stack(outs[:2], axis=3)            # (n, h, w, 2, c): b axis
+    row1 = jnp.stack(outs[2:], axis=3)
+    g = jnp.stack([row0, row1], axis=2)           # (n, h, 2, w, 2, c)
+    return (g.reshape(n, H, W, c).astype(x.dtype),)
+
+
+max_pool2x2_firstmax.defvjp(_mp_fwd, _mp_bwd)
+
+
 def group_concat(a2, b2):
     """Concat two S2D tensors as the S2D of the channel-concat:
     (p, q, [ciA; ciB]) ordering."""
@@ -105,6 +229,28 @@ def group_concat(a2, b2):
     b = b2.reshape(n, h, w, 4, cb4 // 4)
     return jnp.concatenate([a, b.astype(a.dtype)], axis=-1).reshape(
         n, h, w, ca4 + cb4)
+
+
+def group_concat_plain(a2, b2):
+    """Layout-v2 concat: plain channel concat ``[a2; b2]`` — the S2D of
+    the channel-concat under the BLOCK order (all of A's (p, q, ciA)
+    lanes, then all of B's).  Unlike :func:`group_concat` this is a pure
+    block concatenate (no 64/32-granular lane shuffle), so XLA emits no
+    relayout copy; the consumer conv compensates by permuting its dense
+    kernel's input axis with :func:`s2d_block_input_perm` — the same
+    linear map, with the shuffle moved onto the (3,3,4Cin,Cout) weight."""
+    return jnp.concatenate([a2, b2.astype(a2.dtype)], axis=-1)
+
+
+def s2d_block_input_perm(ca: int, cb: int) -> np.ndarray:
+    """Permutation ``idx`` such that
+    ``group_concat(a2, b2)[..., idx] == group_concat_plain(a2, b2)``,
+    i.e. ``W_interleaved[:, :, idx, :]`` is the dense kernel consuming the
+    block-ordered concat.  ``ca``/``cb`` are the LOGICAL channel counts."""
+    ctot = ca + cb
+    idx = [g * ctot + ci for g in range(4) for ci in range(ca)]
+    idx += [g * ctot + ca + ci for g in range(4) for ci in range(cb)]
+    return np.asarray(idx, np.int32)
 
 
 def expand_kernel3x3(k_logical):
