@@ -12,7 +12,7 @@
 #   * a log-growth watchdog kills the wedged process (threshold 900 s
 #     before the first epoch line to let the ~774-s LVSC compile through
 #     — the persistent jax cache should make reruns much faster — and
-#     330 s once epochs are streaming);
+#     510 s once epochs are streaming);
 #   * rerun with --resume in the SAME run dir until DONE or deadline.
 set -u
 cd /root/repo
@@ -65,7 +65,10 @@ if [ ! -f "$ROOT/DONE_train" ]; then
     RESUME=()
     [ -d "$RUN/ckps" ] && RESUME=(--resume)
     log "train attempt $attempt (${RESUME[*]:-fresh})"
-    watchdog_run "$ROOT/train_r5.log" 900 330 5400 \
+    # post-threshold 510 s: epochs stream at ~107 s on a quiet host but
+    # can stretch ~2x when the round-end pytest suite shares the single
+    # host core — a true relay stall is still caught within ~8.5 min
+    watchdog_run "$ROOT/train_r5.log" 900 510 5400 \
       python train_chaos.py --dataset lvsc --session Experiment \
         --tag lvsc_scale --fold 0 --epoch "$EPOCHS" --ckp_interval 4 \
         --do_loss_ent --do_decoder_consistency --do_aux_path --do_memory \
