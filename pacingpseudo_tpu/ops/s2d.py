@@ -55,7 +55,15 @@ from pacingpseudo_tpu.ops.resize import _interp_matrix
 #   * compare-based group_max_pool backward (no s32 index residual).
 # Forward values are bit-exact for the pools; the dec_block1 convs sum
 # input channels in a permuted order (float-level reordering only).
-# Selection: env PACING_LAYOUT_IMPL, default "v1" until measured on chip.
+# Selection: env PACING_LAYOUT_IMPL.  Default "v2" from the round-5 on-chip
+# measurements: three independent captures all have v2 faster e2e (bench
+# A/Bs 69.03->68.61 and 68.33->66.69; the 5-rep interleaved A/B
+# study_r5/chipq/layout_rep_ab.json: v2 wins 4/5 paired reps, mean
+# 69.01->68.53 ms/step, +0.7%).  The HLO copy audit shows v2 removes the
+# group_concat interleave copies (s2d.py v1 group_concat, 604 MB/step) and
+# the argmax residual (201 MB/step); the remaining ~3 GB/step of layout
+# copies sit around LReLU/pad->conv sites XLA controls (see
+# study_r5/chipq/xla_flags_ab.json copy_audit_top).
 # ---------------------------------------------------------------------------
 
 _LAYOUT_IMPL = None  # lazy: resolved from env on first use
@@ -70,7 +78,7 @@ def set_layout_impl(impl: str) -> None:
 def get_layout_impl() -> str:
     global _LAYOUT_IMPL
     if _LAYOUT_IMPL is None:
-        _LAYOUT_IMPL = os.environ.get("PACING_LAYOUT_IMPL", "v1")
+        _LAYOUT_IMPL = os.environ.get("PACING_LAYOUT_IMPL", "v2")
         assert _LAYOUT_IMPL in ("v1", "v2"), _LAYOUT_IMPL
     return _LAYOUT_IMPL
 

@@ -103,6 +103,16 @@ def main():
         compiled[impl] = (jax.jit(run_k, static_argnames=("k",))
                           .lower(st, raws[0], K).compile())
         print(f"compiled {impl}", file=sys.stderr)
+        try:
+            from xla_flags_ab import audit_copies  # sibling script
+            txt = compiled[impl].as_text()
+            hp = os.path.splitext(args.out)[0] + f"_{impl}_hlo.txt"
+            with open(hp, "w") as f:
+                f.write(txt)
+            for row in audit_copies(txt)[:8]:
+                print(f"{impl} copy:", row, file=sys.stderr)
+        except Exception as e:
+            print(f"{impl} HLO dump failed: {e}", file=sys.stderr)
     set_layout_impl("v1")
 
     @jax.jit
