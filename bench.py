@@ -222,9 +222,10 @@ def main():
     from pacingpseudo_tpu.aug.engine import augment_batch
     sp = strong_params_for("TransformsColor", 1.0)
 
-    def time_aug(warp_impl):
+    def time_aug(warp_impl, table_dtype="auto"):
         bp = dataclasses.replace(base_params_for("chaos"),
-                                 warp_table_impl=warp_impl)
+                                 warp_table_impl=warp_impl,
+                                 warp_table_dtype=table_dtype)
 
         @functools.partial(jax.jit, static_argnames=("k_steps",))
         def run_aug_k(raw, key, k_steps):
@@ -250,6 +251,16 @@ def main():
         except Exception as e:  # Mosaic/backend gaps must not sink the bench
             aug_by_impl[impl] = None
             print(f"warp impl {impl} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    # Table STORAGE dtype A/B (aug/params.py warp_table_dtype): bf16 halves
+    # the gather table's construction+gather bytes; class votes bit-exact.
+    aug_by_table_dtype = {}
+    for tdt in ("f32", "bf16"):
+        try:
+            aug_by_table_dtype[tdt] = round(time_aug("auto", tdt), 2)
+        except Exception as e:
+            aug_by_table_dtype[tdt] = None
+            print(f"table dtype {tdt} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     step_ms = dt * 1e3
 
@@ -377,6 +388,7 @@ def main():
                          "aug": round(aug_ms, 2),
                          "model_fwd_bwd_opt": round(step_ms - aug_ms, 2)},
         "aug_ms_by_warp_impl": aug_by_impl,
+        "aug_ms_by_table_dtype": aug_by_table_dtype,
         "step_ms_by_bn_impl": step_ms_by_bn_impl,
         "step_ms_by_conv_impl": step_ms_by_conv_impl,
         "step_ms_by_layout_impl": step_ms_by_layout_impl,

@@ -273,7 +273,8 @@ def base_augment_sample(image, label, scribble, size, key, p: BaseAugParams):
     # ---- One fused gather pass for all three tensors (shared taps).
     num_vals = p.num_classes + 1
     warp = (functools.partial(fused_warp_sample_cubic,
-                              table_impl=p.warp_table_impl)
+                              table_impl=p.warp_table_impl,
+                              table_dtype=p.warp_table_dtype)
             if p.image_interp == "bicubic" else fused_warp_sample)
     img_out, lab_out, scb_out = warp(
         img, label, scribble, sy, sx, num_vals, bound_h=h_raw, bound_w=w_raw)

@@ -74,6 +74,16 @@ class BaseAugParams:
     # ops/warp.py (XLA until an on-chip A/B says otherwise).
     warp_table_impl: str = "auto"
 
+    # Storage dtype of the (H*W, 24) gather table: "f32", "bf16", or
+    # "auto" (env PACING_WARP_TABLE_DTYPE, default f32).  bf16 halves the
+    # table's HBM/VMEM footprint and the gather's bytes; label/scribble
+    # class votes stay BIT-EXACT (small-int class ids are exact in bf16
+    # and the vote weights are computed in f32 from coordinates), only
+    # the image taps round to bf16 before the f32 cubic accumulation —
+    # below the model's own bf16 entry cast.  Default stays f32 until an
+    # on-chip A/B shows a win (ops/warp.py).
+    warp_table_dtype: str = "auto"
+
 
 @dataclasses.dataclass(frozen=True)
 class StrongAugParams:

@@ -77,15 +77,22 @@ def build_warp_table(image, label, scribble, interpret: bool = None):
     )(image, label.astype(jnp.float32), scribble.astype(jnp.float32))
 
 
-def build_warp_table_xla(image, label, scribble):
+def build_warp_table_xla(image, label, scribble, dtype=jnp.float32):
     """The round-2 XLA construction (rolled planes + stack) — reference
-    implementation and fallback for non-TPU backends."""
+    implementation and fallback for non-TPU backends.
+
+    ``dtype`` is the table STORAGE dtype (f32 default; bf16 halves the
+    table's HBM/VMEM footprint and the downstream gather's bytes).  The
+    source planes are cast BEFORE the rolls so construction bandwidth is
+    also halved; label/scribble class ids are small ints, exact in bf16.
+    """
     cols = []
+    img = image.astype(dtype)
     for r in range(4):
-        pr = jnp.roll(image, -(r - 1), axis=0)
+        pr = jnp.roll(img, -(r - 1), axis=0)
         for c in range(4):
             cols.append(jnp.roll(pr, -(c - 1), axis=1))
-    for p in (label.astype(jnp.float32), scribble.astype(jnp.float32)):
+    for p in (label.astype(dtype), scribble.astype(dtype)):
         pright = jnp.roll(p, -1, axis=1)
         pdown = jnp.roll(p, -1, axis=0)
         cols += [p, pright, pdown, jnp.roll(pdown, -1, axis=1)]

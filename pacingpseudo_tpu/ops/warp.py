@@ -20,6 +20,8 @@ a single gather op per tap.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -156,7 +158,8 @@ def _keys_cubic_weights(f, a: float = -0.5):
 
 def fused_warp_sample_cubic(image, label, scribble, sy, sx, num_values,
                             bound_h, bound_w, cubic_a: float = -0.5,
-                            table_impl: str = "auto"):
+                            table_impl: str = "auto",
+                            table_dtype: str = "auto"):
     """Like :func:`fused_warp_sample` but with a bicubic image tap.
 
     The image is sampled with the 4x4 Keys cubic kernel (matching the
@@ -208,13 +211,24 @@ def fused_warp_sample_cubic(image, label, scribble, sy, sx, num_values,
         # "auto" stays on the XLA construction until the Pallas kernel is
         # benchmarked on hardware (flip here once BENCH shows the win).
         impl = "xla"
+    dt = table_dtype
+    if dt == "auto":
+        dt = os.environ.get("PACING_WARP_TABLE_DTYPE", "f32")
+    assert dt in ("f32", "bf16"), dt
+    tdtype = jnp.bfloat16 if dt == "bf16" else jnp.float32
     if impl == "pallas":
-        table = build_warp_table(image, label, scribble)
+        # The Pallas builder is f32-only (non-default path); a bf16 table
+        # under it saves the gather bytes but not construction bandwidth.
+        table = build_warp_table(image, label, scribble).astype(tdtype)
     else:
-        table = build_warp_table_xla(image, label, scribble)
+        table = build_warp_table_xla(image, label, scribble, dtype=tdtype)
 
     rows = jnp.take(table, (y0 * w + x0).reshape(-1), axis=0)
-    rows = rows.reshape(*y0.shape, 24)
+    # Upcast immediately: all interpolation math stays f32 regardless of
+    # the table storage dtype.  Label/scribble lanes hold small integer
+    # class ids, exact in bf16, so the bilinear class votes below are
+    # bit-identical between table dtypes; only image taps round.
+    rows = rows.reshape(*y0.shape, 24).astype(jnp.float32)
 
     # ---- image: 16 cubic taps; live-range masked + renormalised weights.
     wy = _keys_cubic_weights(fy, cubic_a)

@@ -223,6 +223,35 @@ def test_elastic_displaces_but_preserves_classes(rng):
     assert set(np.unique(np.asarray(out["label"]))) <= set(range(C + 1))
 
 
+def test_batch_augment_bf16_table_labels_bitexact(rng):
+    """End-to-end plumbing of warp_table_dtype (aug/params.py): under a
+    bf16 gather table the one-hot label/scribble outputs are bit-exact vs
+    f32 and the images agree to bf16-tap rounding."""
+    import dataclasses
+    n = 4
+    raw = {
+        "image": jnp.asarray(rng.randn(n, S, S), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, C, (n, S, S)), jnp.float32),
+        "scribble": jnp.asarray(rng.randint(0, C + 1, (n, S, S)), jnp.float32),
+        "size": jnp.asarray(np.tile([CH, CW], (n, 1)), jnp.int32),
+    }
+    p = _params(p_scale=0.5, p_rotate=0.5, p_elastic=0.5, p_mirror_y=0.5)
+    sp = StrongAugParams.color(1.0)
+    key = jax.random.PRNGKey(3)
+    b32 = augment_batch(raw, key, dataclasses.replace(
+        p, warp_table_dtype="f32"), sp, True)
+    b16 = augment_batch(raw, key, dataclasses.replace(
+        p, warp_table_dtype="bf16"), sp, True)
+    np.testing.assert_array_equal(np.asarray(b32["label"]),
+                                  np.asarray(b16["label"]))
+    np.testing.assert_array_equal(np.asarray(b32["scribble"]),
+                                  np.asarray(b16["scribble"]))
+    # post-warp the image passes noise + renorm; bf16 tap rounding stays a
+    # small relative perturbation of the normalized image
+    np.testing.assert_allclose(np.asarray(b32["image"]),
+                               np.asarray(b16["image"]), atol=0.05)
+
+
 def test_batch_augment_shapes_and_strong(rng):
     n = 4
     raw = {
