@@ -78,10 +78,14 @@ def _emit_cached_bench(reason: str) -> bool:
     # files (the queue truncates its target at step start), age-gated to
     # 24 h so an earlier round's numbers can't masquerade as fresh.
     import glob
-    cands = [p for p in glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "study_r*", "chipq", "bench_r*_initial.json"))
-        if os.path.exists(p)]
+    here = os.path.dirname(os.path.abspath(__file__))
+    # bench_latest.json is the canonical "freshest capture" pointer a chip
+    # queue maintains (e.g. the defaults-flipped re-run that supersedes
+    # the round's first capture); the *_initial.json files remain as the
+    # discovery fallback for older rounds' queues.
+    cands = [p for pat in ("bench_latest.json", "bench_r*_initial.json")
+             for p in glob.glob(os.path.join(here, "study_r*", "chipq", pat))
+             if os.path.exists(p)]
     cands.sort(key=os.path.getmtime, reverse=True)
     return any(_try_emit(p, age_gate=True) for p in cands)
 

@@ -112,11 +112,59 @@ def acquire_chip_lock(path: str = LOCK_PATH, owner_note: str = "",
     return f
 
 
+def release_chip_lock() -> None:
+    """Release the module-held chip lock (flock drops with the close)."""
+    global _held_lock
+    if _held_lock is not None:
+        _held_lock.close()
+        _held_lock = None
+
+
+def relay_stream_ok(timeout_s: Optional[float] = None) -> bool:
+    """Real-op probe of the relay STREAM.
+
+    A wedged relay keeps the TCP port LISTENing while every device op
+    hangs forever (the round-3/round-5 incident signature), so
+    :func:`relay_alive` alone cannot clear chip work to start.  This runs
+    a tiny matmul on the chip in a SUBPROCESS — a hung in-process axon
+    backend init cannot be aborted — and kills it on timeout.
+
+    Call ONLY while holding the chip lock: the probe is itself a chip
+    client, and two concurrent clients are exactly what wedges the relay.
+    Escape hatches: ``CHIP_STREAM_PROBE=0`` skips the probe (trusted
+    queues that just ran their own), ``CHIP_STREAM_PROBE_TIMEOUT``
+    overrides the 90 s default (healthy axon init + compile is ~10 s;
+    90 s rides out host-core contention).
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("CHIP_STREAM_PROBE", "1") == "0":
+        return True
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("CHIP_STREAM_PROBE_TIMEOUT", "90"))
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "assert float(jnp.sum(x @ x)) > 0\n"
+        "assert jax.devices()[0].platform == 'tpu'\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           env=os.environ.copy(), timeout=timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def preflight_chip(owner_note: str = "", wait_s: float = 0.0) -> None:
     """Fail fast (clear RuntimeError) when chip work cannot safely start.
 
-    No-op off-TPU.  On TPU: relay must be listening and the chip lock free
-    (optionally waiting ``wait_s`` for a finishing holder).
+    No-op off-TPU.  On TPU: relay must be listening, the chip lock free
+    (optionally waiting ``wait_s`` for a finishing holder), and — new
+    after the round-5 wedge incident — a real device op must complete
+    (run under the freshly-held lock, so the probe is the only client).
     """
     honor_platform_env()
     if not targeting_tpu():
@@ -128,3 +176,10 @@ def preflight_chip(owner_note: str = "", wait_s: float = 0.0) -> None:
             "must be re-established by the harness — refusing to start "
             "chip work (it would hang, then die in axon backend init)")
     acquire_chip_lock(owner_note=owner_note, wait_s=wait_s)
+    if not relay_stream_ok():
+        release_chip_lock()
+        raise RuntimeError(
+            f"TPU relay STREAM is WEDGED ({RELAY_HOST}:{RELAY_PORT} is "
+            "listening but a real device op hung past the probe timeout); "
+            "only a harness-side relay restart clears this — refusing to "
+            "start chip work")

@@ -90,6 +90,43 @@ def test_preflight_raises_clearly_when_relay_down(monkeypatch):
         chiplock.preflight_chip("test")
 
 
+def test_preflight_raises_when_stream_wedged(monkeypatch, tmp_path):
+    """Port listening + hanging ops is the round-3/5 wedge signature; the
+    TCP probe alone must no longer clear chip work (NOTES.md incident)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setattr(chiplock, "relay_alive", lambda *a, **k: True)
+    monkeypatch.setattr(chiplock, "relay_stream_ok", lambda *a, **k: False)
+    monkeypatch.setattr(chiplock, "LOCK_PATH", str(tmp_path / "chip.lock"))
+    with pytest.raises(RuntimeError, match="STREAM is WEDGED"):
+        chiplock.preflight_chip("test")
+    # the lock must have been released so the next client can retry
+    f = chiplock.acquire_chip_lock(str(tmp_path / "chip.lock"), "retry")
+    assert f is not None
+    chiplock.release_chip_lock()
+
+
+def test_relay_stream_ok_kills_hung_probe(monkeypatch):
+    """A wedged stream hangs the probe subprocess forever; the probe must
+    kill it at the timeout and report False (never hang the caller)."""
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):  # stand in a sleeper for the jax op
+        return real_run([sys.executable, "-c", "import time; time.sleep(60)"],
+                        timeout=kw["timeout"])
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    import time
+    t0 = time.time()
+    assert chiplock.relay_stream_ok(timeout_s=2.0) is False
+    assert time.time() - t0 < 30
+
+
+def test_relay_stream_ok_env_skip(monkeypatch):
+    monkeypatch.setenv("CHIP_STREAM_PROBE", "0")
+    assert chiplock.relay_stream_ok(timeout_s=0.001) is True
+
+
 def test_honor_platform_env_pins_cpu(monkeypatch):
     """JAX_PLATFORMS=cpu must override the sandbox's programmatic
     'axon,cpu' pin (round-4 cpu-sweep wedge: a worker meant for the CPU
