@@ -149,3 +149,66 @@ def test_honor_platform_env_keeps_tpu_sessions(monkeypatch):
     before = jax.config.jax_platforms
     chiplock.honor_platform_env()
     assert jax.config.jax_platforms == before
+
+
+# ---- __graft_entry__.entry() wedge guard (round-5 flap incident) ---------
+# The driver's single-chip compile check must never hang in axon backend
+# init: entry() probes relay TCP + stream (real op) + lock under the
+# exclusive chip flock and re-pins the process to CPU unless the chip is
+# provably free AND healthy.  entry() imports the chiplock names at call
+# time, so monkeypatching the module attributes here takes effect.
+
+def _entry_platform(monkeypatch):
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (2, 256, 256, 5)
+    return jax.config.jax_platforms
+
+
+def test_entry_pins_cpu_when_relay_down(monkeypatch):
+    import jax
+
+    monkeypatch.setattr(chiplock, "targeting_tpu", lambda: True)
+    monkeypatch.setattr(chiplock, "relay_alive", lambda: False)
+    try:
+        assert _entry_platform(monkeypatch) == "cpu"
+    finally:
+        jax.config.update("jax_platforms", "cpu")  # conftest regime
+
+
+def test_entry_pins_cpu_when_stream_wedged(monkeypatch):
+    import jax
+
+    monkeypatch.setattr(chiplock, "targeting_tpu", lambda: True)
+    monkeypatch.setattr(chiplock, "relay_alive", lambda: True)
+    acquired = []
+    released = []
+    monkeypatch.setattr(chiplock, "acquire_chip_lock",
+                        lambda **kw: acquired.append(kw))
+    monkeypatch.setattr(chiplock, "release_chip_lock",
+                        lambda: released.append(True))
+    monkeypatch.setattr(chiplock, "relay_stream_ok", lambda: False)
+    try:
+        assert _entry_platform(monkeypatch) == "cpu"
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+    assert acquired and released  # probed under the lock, then dropped it
+
+
+def test_entry_pins_cpu_when_chip_lock_held(monkeypatch):
+    import jax
+
+    def _busy(**kw):
+        raise chiplock.ChipLockError("held by a training arm")
+
+    monkeypatch.setattr(chiplock, "targeting_tpu", lambda: True)
+    monkeypatch.setattr(chiplock, "relay_alive", lambda: True)
+    monkeypatch.setattr(chiplock, "acquire_chip_lock", _busy)
+    try:
+        assert _entry_platform(monkeypatch) == "cpu"
+    finally:
+        jax.config.update("jax_platforms", "cpu")
